@@ -1,0 +1,92 @@
+"""Entity linking: broadcast alias join with salted fallback for skew.
+
+The Spark re-expression of the reference's central join rewrite -- the
+row-indexed equi-join that replaced an exploded cartesian (reference:
+claims.py:48-89; anti-pattern preserved at compare_perf.py:25-47).
+Here the lookup side is the alias dictionary and the probe side the
+mention stream.
+
+Strategies:
+- ``broadcast`` (default): the dictionary is small relative to executor
+  memory -> map-side hash join, zero shuffle of the mention stream.
+- ``salted``: for a dictionary too large to broadcast AND a Zipf-hot key
+  distribution (the high-degree-QID skew analogue, reference:
+  plot_language_hist.py): replicate each dictionary row SALT_N times,
+  give each probe row a deterministic salt, join on (key, salt) so one
+  hot alias spreads over SALT_N reducers. AQE skew-join handles residual
+  imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_equi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left equi-join on ``key`` with hot-key salting.
+
+    The build side is exploded n_salt x (bounded, explicit replication);
+    the probe side gets a deterministic per-row salt from a hash of all
+    its columns, so results are reproducible run-to-run.
+    """
+    salted_build = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    probe_cols = [F.col(c) for c in probe.columns]
+    salted_probe = probe.withColumn(
+        "_salt", F.pmod(F.xxhash64(*probe_cols), F.lit(n_salt)).cast("int")
+    )
+    out = salted_probe.join(salted_build, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    strategy: str = "broadcast",
+    n_salt: int = 8,
+) -> DataFrame:
+    """mentions -> linked triples (subj, pred, obj, obj_kind, conv_id, turn_idx).
+
+    Subject mentions and entity-valued object mentions resolve through
+    the alias dictionary (inner join = drop unlinkable, mirroring the
+    reference's inner-join-as-filter semantics, reference:
+    claims.py:84-89); literal objects pass through untouched and are
+    re-united with ``unionByName`` -- the diagonal-concat analogue
+    (reference: claims.py:206-213).
+    """
+    dict_df = alias_dict.select("alias", "entity_id")
+
+    def _resolve(df: DataFrame, mention_col: str, out_col: str) -> DataFrame:
+        renamed = dict_df.withColumnRenamed("alias", mention_col).withColumnRenamed(
+            "entity_id", out_col
+        )
+        if strategy == "broadcast":
+            return df.join(F.broadcast(renamed), mention_col, "inner")
+        if strategy == "salted":
+            return salted_equi_join(df, renamed, mention_col, n_salt=n_salt)
+        return df.join(renamed, mention_col, "inner")
+
+    subj_linked = _resolve(mentions, "subj_mention", "subj")
+
+    ent = subj_linked.filter(F.col("obj_kind") == "entity")
+    lit = subj_linked.filter(F.col("obj_kind") != "entity").withColumn(
+        "obj", F.col("obj_mention")
+    )
+    ent = _resolve(ent, "obj_mention", "obj")
+
+    out_cols = ["subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx"]
+    return ent.select(*out_cols).unionByName(lit.select(*out_cols))
+
+
+def hot_keys(df: DataFrame, key: str, top_n: int = 100) -> DataFrame:
+    """Frequency histogram of join keys (skew evidence; reference:
+    plot_language_hist.py:12 value_counts analogue)."""
+    return df.groupBy(key).count().orderBy(F.desc("count")).limit(top_n)

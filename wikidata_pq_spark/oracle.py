@@ -1,0 +1,104 @@
+"""Single-process pure-pandas golden pipeline (the oracle).
+
+Defines the golden (subj, pred, obj) set the Spark pipeline is graded
+against (P/R >= 0.95, BASELINE.md). It imports the SAME rule module as
+the distributed extractor, so any divergence is an ordering/partitioning
+bug, not a rule drift (SURVEY.md §7.3a).
+
+Stages mirror the Spark pipeline 1:1:
+  extract  -> rules.extract_conversation_triples per conversation
+  link     -> alias -> entity_id dict lookup (drop unlinkable mentions)
+  canon    -> union-find over same_as edges, min-id canonical label
+  triples  -> (subj, pred, obj, conv_id, turn_idx)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from . import rules
+
+TRIPLE_COLUMNS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+def oracle_extract(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Mention-level triples for the whole corpus, single process."""
+    ordered = transcripts.sort_values(["conv_id", "turn_idx"], kind="stable")
+    return rules.extract_conversation_triples(ordered)
+
+
+def oracle_link(mentions: pd.DataFrame, alias_dict: pd.DataFrame) -> pd.DataFrame:
+    """Resolve mentions to entity ids; literals pass through as obj."""
+    amap = dict(zip(alias_dict["alias"], alias_dict["entity_id"]))
+    out = mentions.copy()
+    out["subj"] = out["subj_mention"].map(amap)
+    is_ent = out["obj_kind"].eq("entity")
+    out["obj"] = out["obj_mention"].where(~is_ent, out["obj_mention"].map(amap))
+    out = out[out["subj"].notna() & out["obj"].notna()]
+    return out[["subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx"]].reset_index(
+        drop=True
+    )
+
+
+def union_find_components(same_as: pd.DataFrame) -> dict[str, str]:
+    """Min-id-canonical connected components via union-find."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        # canonical = min by (numeric-aware) id ordering
+        lo, hi = sorted([ra, rb], key=_id_key)
+        parent[hi] = lo
+
+    for s, d in zip(same_as["src_id"], same_as["dst_id"]):
+        union(s, d)
+    return {x: find(x) for x in set(same_as["src_id"]) | set(same_as["dst_id"])}
+
+
+def _id_key(eid: str):
+    return (0, int(eid[1:])) if eid[1:].isdigit() else (1, eid)
+
+
+def oracle_canonicalize(linked: pd.DataFrame, same_as: pd.DataFrame) -> pd.DataFrame:
+    """Rewrite subj/obj entity ids to their canonical component label."""
+    comp = union_find_components(same_as)
+    out = linked.copy()
+    out["subj"] = out["subj"].map(lambda x: comp.get(x, x))
+    is_ent = out["obj_kind"].eq("entity")
+    out.loc[is_ent, "obj"] = out.loc[is_ent, "obj"].map(lambda x: comp.get(x, x))
+    return out
+
+
+def oracle_triples(
+    transcripts: pd.DataFrame,
+    alias_dict: pd.DataFrame,
+    same_as: pd.DataFrame,
+) -> pd.DataFrame:
+    """End-to-end golden triples with provenance, distinct rows."""
+    mentions = oracle_extract(transcripts)
+    linked = oracle_link(mentions, alias_dict)
+    canon = oracle_canonicalize(linked, same_as)
+    out = canon[TRIPLE_COLUMNS].drop_duplicates().reset_index(drop=True)
+    return out
+
+
+def precision_recall(
+    got: pd.DataFrame, golden: pd.DataFrame, keys: tuple[str, ...] = ("subj", "pred", "obj")
+) -> tuple[float, float]:
+    """P/R on distinct key tuples (order-insensitive sets)."""
+    g = set(map(tuple, got[list(keys)].drop_duplicates().itertuples(index=False)))
+    t = set(map(tuple, golden[list(keys)].drop_duplicates().itertuples(index=False)))
+    if not g or not t:
+        return (0.0, 0.0)
+    inter = len(g & t)
+    return (inter / len(g), inter / len(t))

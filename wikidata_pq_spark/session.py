@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+Configs chosen for the 100 TB target (AQE, skew-join splitting, Arrow
+batching caps) while remaining correct on local[N]. The reference's
+bounded-memory streaming discipline (reference: transforms.py:39-41,
+core.py:58 -- lazy sinks, never collect) maps here to: AQE + spill-aware
+shuffle partition sizing + capped Arrow record batches for pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wikidata_pq_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count -- on a real
+    cluster this should be ~2-3x total cores, or left to AQE coalescing.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Cap Arrow batches so a hot conversation group cannot OOM a
+        # Python worker (the reference's max_builders=1000 batching
+        # analogue, reference: process.py:218).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Nested-field pruning so struct projections reach the scan.
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

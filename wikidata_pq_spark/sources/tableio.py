@@ -1,0 +1,94 @@
+"""Table IO seam: Iceberg when available, partitioned parquet otherwise.
+
+The storage layer behind the pipeline (SURVEY.md §7.3d): query code only
+ever sees DataFrames; this module decides the physical table format.
+In-sandbox there is no Iceberg runtime jar, so the fallback is
+Hive-style partitioned parquet -- the same layout the reference sinks to
+(reference: core.py:38-58 PartitionByKey -> results/{table}/language=X/)
+-- plus an explicit audit sidecar per partition, mirroring the
+reference's finish-callback sidecars (reference: core.py:25-35:
+(language, rows, min_id, max_id)).
+
+On a real cluster, set ``spark.sql.catalog.<name>`` configs and these
+writes become Iceberg `writeTo(...).append()` with snapshot metadata
+supplying row counts for free (reference post-check design:
+DESIGN.md:95-112).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if an Iceberg catalog is configured on this session."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return False
+    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+
+
+def bucket_column(col_name: str, n_buckets: int):
+    """Deterministic subject-hash bucket (Iceberg bucket(N, col) stand-in)."""
+    return F.pmod(F.xxhash64(F.col(col_name)), F.lit(n_buckets)).cast("int")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned columnar write (parquet fallback for Iceberg)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def audit_frame(df: DataFrame, partition_cols: list[str], id_col: str) -> DataFrame:
+    """Per-partition (rows, min_id, max_id) lineage rows.
+
+    Spark exposes no per-partition finish callback (reference:
+    core.py:25-35), so the audit is computed as a query over the same
+    data -- one extra partial-aggregated pass, map-side combined.
+    """
+    return df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )
+
+
+def write_with_audit(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    id_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write + sidecar audit parquet at <path>_audit."""
+    write_partitioned(df, path, partition_cols, mode=mode)
+    audit = audit_frame(
+        df.sparkSession.read.parquet(path), partition_cols, id_col
+    )
+    audit.write.mode(mode).parquet(path + "_audit")
+
+
+def post_check(spark: SparkSession, path: str, partition_cols: list[str], id_col: str) -> bool:
+    """Re-read what was written and compare against the sidecar.
+
+    The reference's post-check step (reference: DESIGN.md:95-112,
+    docs/journal/2025-01-16-03-implement-postcheck-DRAFT.md:24-33):
+    recompute (rows, min_id, max_id) from the sink and verify it matches
+    the audit sidecar exactly.
+    """
+    if not os.path.exists(path + "_audit"):
+        return False
+    written = audit_frame(spark.read.parquet(path), partition_cols, id_col)
+    sidecar = spark.read.parquet(path + "_audit")
+    cols = partition_cols + ["rows", "min_id", "max_id"]
+    diff = written.select(cols).exceptAll(sidecar.select(cols))
+    diff2 = sidecar.select(cols).exceptAll(written.select(cols))
+    return diff.union(diff2).limit(1).count() == 0
