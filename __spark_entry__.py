@@ -3,36 +3,55 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``wikidata_pq_spark.contracts`` (relational
+operators from SURVEY.md §2, dedup/similarity/text-analysis operators,
+and the KG pipeline itself).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from wikidata_pq_spark import contracts  # noqa: E402
+from wikidata_pq_spark import datagen  # noqa: E402
+from wikidata_pq_spark.operators import canonicalize, extract, linking  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full transcript->triples KG pipeline.
+
+    Runs extraction (applyInPandas), broadcast entity linking, and
+    connected-component canonicalization on the deterministic synthetic
+    corpus scaled for sf0.001; driver checks rows>0 and stable schema.
+    """
+    tdf, adf, sdf = contracts._kg_inputs(spark, "/root/testdata/sf0.001")
+    mentions = extract.extract_mentions(tdf)
+    linked = linking.link_mentions(mentions, adf, strategy="broadcast")
+    comps = canonicalize.connected_components(sdf)
+    return (
+        canonicalize.apply_canonical(linked, comps)
+        .select("subj", "pred", "obj", "conv_id", "turn_idx")
+        .distinct()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    training-data-pipeline operators and the KG pipeline stages)."""
+    return dict(contracts.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; KG/LSH/
+    SimHash/media entries are intentionally omitted (rows-only check:
+    pandas-UDF extraction, probabilistic LSH banding, and binary decode
+    are not ANSI-SQL-expressible)."""
+    return dict(contracts.ORACLE_SQL)

@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set covers the operator families the engine claims: scan+agg,
+star joins, windows, the exploded-lookup join rewrite, dedup (exact /
+Jaccard / MinHash-LSH), ANN, text stats, and the full KG pipeline
+(whose throughput is also reported as kg_triples_per_sec -- the
+BASELINE.json headline metric).
+
+Run at two parallelism levels for the scaling-efficiency evidence:
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from wikidata_pq_spark import contracts  # noqa: E402
+from wikidata_pq_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "a1_pricing_summary",
+    "a7_running_revenue",
+    "w1_topk_per_group",
+    "j1_rowid_token_join",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "dedup_exact",
+    "dedup_token_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+    "kg_triples",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(
+        app_name=f"bench_{sf_name}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+    kg_rows = 0
+    for name in BENCH_QUERIES:
+        fn = contracts.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "kg_triples":
+            kg_rows = n
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_triples": kg_rows,
+        "kg_triples_per_sec": round(kg_rows / timings["kg_triples"], 1)
+        if timings.get("kg_triples")
+        else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

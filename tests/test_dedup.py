@@ -1,0 +1,76 @@
+"""Dedup operator family: exact, Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from wikidata_pq_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en"),  # near dup
+        (3, "completely different text about spark engines", "en"),
+        (4, "der schnelle braune fuchs springt", "de"),
+        (5, "the quick brown fox jumps over the lazy dog", "de"),  # dup, other block
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dup_groups(docs).toPandas()
+    dup_group = out[out["n_dupes"] == 3]
+    assert len(dup_group) == 1
+    assert dup_group["keep_id"].iloc[0] == 0
+    assert out["n_dupes"].sum() == 6
+
+
+def test_token_jaccard_pairs(docs):
+    out = dedup.token_jaccard_pairs(docs, threshold=0.7, block_col="lang").toPandas()
+    pairs = set(zip(out["a_id"], out["b_id"]))
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-token swap
+    assert all(a < b for a, b in pairs)
+    # cross-block pair (0,5) must NOT appear (blocked)
+    assert (0, 5) not in pairs
+    ident = out[(out["a_id"] == 0) & (out["b_id"] == 1)]
+    assert ident["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_signatures_shape(docs):
+    sig = dedup.minhash_signatures(docs, n_hashes=16).toPandas()
+    assert all(len(s) == 16 for s in sig["sig"])
+    # identical docs -> identical signatures
+    s = {i: list(v) for i, v in zip(sig["id"], sig["sig"])}
+    assert s[0] == s[1] == s[5]
+    assert s[0] != s[3]
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    cand = dedup.minhash_lsh_candidates(docs, n_hashes=32, n_bands=8).toPandas()
+    pairs = set(zip(cand["a_id"], cand["b_id"]))
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 5) in pairs  # LSH is not blocked by lang
+    assert (3, 4) not in pairs  # unrelated docs shouldn't collide in all bands
+
+
+def test_simhash_identical_and_near(docs):
+    sigs = dedup.simhash64(docs).toPandas()
+    s = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    assert s[0] == s[1] == s[5]
+    pairs_df = dedup.simhash_near_pairs(docs, max_hamming=6)
+    pairs = set(zip(*(lambda p: (p["a_id"], p["b_id"]))(pairs_df.toPandas())))
+    assert (0, 1) in pairs
+    ham = pairs_df.toPandas()
+    z = ham[(ham["a_id"] == 0) & (ham["b_id"] == 1)]
+    assert z["hamming"].iloc[0] == 0
+
+
+def test_simhash_deterministic(docs):
+    a = dedup.simhash64(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
+    b = dedup.simhash64(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
+    assert a == b

@@ -1,0 +1,127 @@
+"""Similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wikidata_pq_spark.operators import multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[1] = vecs[0] * 2.0  # same direction as 0 -> cosine 1
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(50),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [i % 3 for i in range(50)],
+        }
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    df, vecs = emb
+    got = similarity.brute_force_topk(df, n_queries=3, k=4).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((np.arange(50), -s))[:4]
+        mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == list(order)
+
+
+def test_brute_force_finds_codirectional(emb):
+    df, _ = emb
+    got = similarity.brute_force_topk(df, n_queries=1, k=1).toPandas()
+    assert got.iloc[0]["neighbor_id"] == 1  # vec 1 is colinear with vec 0
+
+
+def test_lsh_topk_subset_semantics(emb):
+    df, _ = emb
+    got = similarity.lsh_topk(df, n_queries=3, k=4, n_planes=2, dim=8).toPandas()
+    # ranks are dense starting at 1 per query
+    for q, grp in got.groupby("query_id"):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+    # colinear vectors always share every hyperplane bucket
+    q0 = got[got["query_id"] == 0]
+    assert 1 in set(q0["neighbor_id"])
+
+
+def test_embedding_dup_pairs(emb):
+    df, _ = emb
+    # label blocks: 0 and 1 differ in label (0%3=0, 1%3=1) -> block them together
+    out = similarity.embedding_dup_pairs(df, threshold=0.999, block_col=None).toPandas()
+    assert (0, 1) in set(zip(out["a_id"], out["b_id"]))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox and the lazy dog", "en"),
+        (1, "der schnelle fuchs und die katze ist da", "de"),
+        (2, "", "en"),
+        (3, "le chat est dans la maison et le chien", "fr"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_token_stats(docs):
+    out = textstats.token_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 8
+    assert out.loc[0, "n_distinct_tokens"] == 7  # 'the' twice
+
+
+def test_lang_id(docs):
+    out = textstats.lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[1, "pred_lang"] == "de"
+    assert out.loc[3, "pred_lang"] == "fr"
+    assert out.loc[2, "pred_lang"] == "und"
+
+
+def test_fingerprint_matches_python(docs):
+    out = textstats.fingerprint(docs).toPandas().set_index("doc_id")
+
+    def fp(text):
+        h = 0
+        for t in text.lower().split():
+            h = (h * 31 + len(t)) % 2147483647
+        return h
+
+    assert out.loc[0, "fingerprint"] == fp("The quick brown fox and the lazy dog")
+    assert out.loc[1, "fingerprint"] == fp("der schnelle fuchs und die katze ist da")
+
+
+def test_quality_score_bounds(docs):
+    out = textstats.quality_score(docs.filter("doc_id != 2")).toPandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.decode_features(media).toPandas().set_index("doc_id")
+    assert feats.loc[0, "n_bytes"] == len("The quick brown fox and the lazy dog")
+    assert set(feats["media_type"]) == {"image/fake", "audio/fake"}
+    # deterministic
+    again = multimodal.decode_features(media).toPandas().set_index("doc_id")
+    assert feats["checksum"].equals(again["checksum"])
+    assert (feats["fake_width"] >= 16).all() and (feats["fake_width"] < 1040).all()
+
+
+def test_decode_real_is_stubbed(docs):
+    media = multimodal.attach_fake_media(docs)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(media)

@@ -1,0 +1,701 @@
+"""Driver-contract queries: SURVEY.md §2 operator inventory re-expressed
+over the driver's TPC-H-ish testdata, each with a DuckDB oracle.
+
+Every entry in :data:`QUERIES` is ``name -> callable(spark, sf_dir) ->
+DataFrame``; :data:`ORACLE_SQL` holds the ANSI-SQL equivalent DuckDB
+runs over the same parquet (omitted => driver does a rows-only check).
+Column names/aliases match EXACTLY between the two sides (the driver
+hashes values after sorting columns by name).
+
+Float discipline: every float aggregate is rounded identically on both
+sides; vector math folds left in double on both engines (see
+functions.vectors / the list_reduce oracles), so values hash-equal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import datagen
+from .functions import text as TX
+from .operators import canonicalize, dedup, extract, linking, multimodal, similarity, textstats
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Relational operators (SURVEY §2.2-2.8)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """A1/A4: TPC-H Q1-shaped groupBy + multi-agg (map-side combined)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_distinct_orders(spark, sf):
+    """A2: distinct count per group."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+
+
+def q_min_open_order(spark, sf):
+    """A3: global min under a predicate (next-incomplete-chunk shape)."""
+    o = load(spark, sf, "orders")
+    return o.filter(F.col("o_orderstatus") != "F").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_open_date"),
+        F.min("o_orderkey").alias("min_open_key"),
+    )
+
+
+def q_event_histogram(spark, sf):
+    """A4/O4: frequency histogram with deterministic order."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+def q_partition_audit(spark, sf):
+    """A5/S8: per-partition (rows, min_id, max_id) audit sidecar."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_running_revenue(spark, sf):
+    """A7/W2: ordered cumulative sum (prefetch-budget shape)."""
+    o = load(spark, sf, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        "day_total",
+        F.round(F.sum("day_total").over(w), 2).alias("running_total"),
+    )
+
+
+def q_null_audit(spark, sf):
+    """A8/J4/P10: left-join enrichment + null count."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.agg(
+        F.count(F.when(F.col("n_orders").isNull(), 1)).alias("customers_without_orders"),
+        F.count(F.lit(1)).alias("total_customers"),
+    )
+
+
+def q_topk_per_group(spark, sf):
+    """W1/O4: top-3 orders per customer (row_number window)."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+def q_lag_delta(spark, sf):
+    """W (lag): per-user event value deltas."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+def q_rowid_token_join(spark, sf):
+    """J1 flagship shape: row-indexed equi-join replacing a cartesian.
+
+    Tokens at even positions (probe) join tokens at odd positions
+    (lookup) on (doc_id, token) -- the reference's synthetic-row-id +
+    language join rewrite (reference: claims.py:48-89) re-expressed.
+    """
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "token")
+    )
+    probe = toks.filter(F.col("pos") % 2 == 0).select("doc_id", "token")
+    lookup = toks.filter(F.col("pos") % 2 == 1).select("doc_id", "token").distinct()
+    return (
+        probe.join(lookup, ["doc_id", "token"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+def q_presence_flags(spark, sf):
+    """J5/P9/P10: per-key presence flags across branches, fold with AND."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    f_open = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("ck_open"))
+        .distinct()
+        .withColumn("has_open", F.lit(True))
+    )
+    f_done = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("ck_done"))
+        .distinct()
+        .withColumn("has_done", F.lit(True))
+    )
+    j = (
+        c.join(f_open, c.c_custkey == f_open.ck_open, "left")
+        .join(f_done, c.c_custkey == f_done.ck_done, "left")
+    )
+    return j.select(
+        "c_custkey",
+        F.coalesce("has_open", F.lit(False)).alias("has_open"),
+        F.coalesce("has_done", F.lit(False)).alias("has_done"),
+        (F.coalesce("has_open", F.lit(False)) & F.coalesce("has_done", F.lit(False))).alias(
+            "has_both"
+        ),
+    )
+
+
+def q_anti_join(spark, sf):
+    """left_anti: checkpoint-resume exclusion shape."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_join(spark, sf):
+    """left_semi: EXISTS shape."""
+    p = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey")
+
+
+def q_diagonal_concat(spark, sf):
+    """U1: unionByName with missing columns (diagonal concat,
+    reference: claims.py:206-213)."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    a = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    b = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_regex_extract(spark, sf):
+    """P6/F2/F1/F5: rlike filter + regexp capture + path funcs."""
+    d = load(spark, sf, "documents")
+    path = F.concat(F.lit("data/"), F.col("source"), F.lit("/file.parquet"))
+    return (
+        d.filter(F.col("source").rlike(r"^src1\d$"))
+        .select(
+            "doc_id",
+            F.regexp_extract("source", r"src(\d+)", 1).cast("long").alias("src_num"),
+            F.element_at(F.split(path, "/"), -1).alias("fname"),
+        )
+    )
+
+
+def q_json_map_explode(spark, sf):
+    """N6/N8: typed JSON decode + map->rows explosion."""
+    ev = load(spark, sf, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id", F.explode(F.map_entries(m)).alias("kv")
+    ).select("event_id", F.col("kv.key").alias("key"), F.col("kv.value").alias("value"))
+
+
+def q_slice(spark, sf):
+    """O1/O2/O3: multi-key sort + offset/limit slice."""
+    o = load(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q_shipping_priority(spark, sf):
+    """3-way join + agg + top-k (TPC-H Q3 shape); dims broadcast."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf):
+    """5-way star join with broadcast dims (TPC-H Q5 shape)."""
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data-pipeline operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dup_groups(load(spark, sf, "documents"))
+
+
+def q_dedup_jaccard(spark, sf):
+    return dedup.token_jaccard_pairs(load(spark, sf, "documents"), threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_candidates(load(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf):
+    # synthetic embeddings top out at cosine ~0.47; 0.35 marks the
+    # high-similarity tail (real corpora would use ~0.95)
+    return similarity.embedding_dup_pairs(
+        load(spark, sf, "embeddings"), threshold=0.35, block_col="label"
+    )
+
+
+def q_ann_topk(spark, sf):
+    return similarity.brute_force_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+
+
+def q_ann_lsh(spark, sf):
+    return similarity.lsh_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+
+
+def q_text_stats(spark, sf):
+    return textstats.token_stats(load(spark, sf, "documents"))
+
+
+def q_lang_id(spark, sf):
+    return textstats.lang_id(load(spark, sf, "documents"))
+
+
+def q_quality(spark, sf):
+    return textstats.quality_score(load(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    return textstats.fingerprint(load(spark, sf, "documents"))
+
+
+def q_media_features(spark, sf):
+    media = multimodal.attach_fake_media(load(spark, sf, "documents"))
+    return multimodal.decode_features(media)
+
+
+# --------------------------------------------------------------------------
+# KG pipeline operators (the flagship; oracle where SQL-expressible)
+# --------------------------------------------------------------------------
+
+_SF_SCALE = {"sf0.001": (100, 8), "sf0.01": (400, 12), "sf0.1": (2000, 20)}
+
+
+def _kg_inputs(spark, sf):
+    name = os.path.basename(os.path.normpath(sf))
+    n_convs, mean_turns = _SF_SCALE.get(name, (200, 10))
+    tr = datagen.gen_transcripts(n_convs=n_convs, mean_turns=mean_turns, n_entities=500)
+    ents = datagen.gen_entities(500)
+    sa = datagen.gen_same_as(500)
+    return (
+        spark.createDataFrame(tr),
+        spark.createDataFrame(ents),
+        spark.createDataFrame(sa),
+    )
+
+
+def q_kg_mentions(spark, sf):
+    """applyInPandas extraction (D4 analogue) -- rows-only check."""
+    tdf, _, _ = _kg_inputs(spark, sf)
+    return extract.extract_mentions(tdf)
+
+
+def q_kg_triples(spark, sf):
+    """Full extract->link->canonicalize chain -- rows-only check."""
+    tdf, adf, sdf = _kg_inputs(spark, sf)
+    mentions = extract.extract_mentions(tdf)
+    linked = linking.link_mentions(mentions, adf, strategy="broadcast")
+    comps = canonicalize.connected_components(sdf)
+    return canonicalize.apply_canonical(linked, comps).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    ).distinct()
+
+
+def q_connected_components(spark, sf):
+    """Iterative CC with a closed-form SQL oracle: chain edges over
+    customer keys form blocks of 10; canonical = block head."""
+    c = load(spark, sf, "customer")
+    edges = (
+        c.filter(F.col("c_custkey") % 10 != 9)
+        .select(
+            F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+            F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
+        )
+    )
+    return canonicalize.connected_components(edges)
+
+
+QUERIES = {
+    "a1_pricing_summary": q_pricing_summary,
+    "a2_distinct_orders": q_distinct_orders,
+    "a3_min_open_order": q_min_open_order,
+    "a4_event_histogram": q_event_histogram,
+    "a5_partition_audit": q_partition_audit,
+    "a7_running_revenue": q_running_revenue,
+    "a8_null_audit": q_null_audit,
+    "w1_topk_per_group": q_topk_per_group,
+    "w2_lag_delta": q_lag_delta,
+    "j1_rowid_token_join": q_rowid_token_join,
+    "j5_presence_flags": q_presence_flags,
+    "j_anti_resume": q_anti_join,
+    "j_semi_exists": q_semi_join,
+    "u1_diagonal_concat": q_diagonal_concat,
+    "p6_regex_extract": q_regex_extract,
+    "n8_json_map_explode": q_json_map_explode,
+    "o3_sort_slice": q_slice,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_region_revenue": q_region_revenue,
+    "dedup_exact": q_dedup_exact,
+    "dedup_token_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_topk_bruteforce": q_ann_topk,
+    "ann_lsh_bucketed": q_ann_lsh,
+    "text_token_stats": q_text_stats,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality,
+    "text_fingerprint": q_fingerprint,
+    "mm_decode_features": q_media_features,
+    "kg_extract_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "cc_components": q_connected_components,
+}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles. Tokenization mirror: regexp_split_to_array(trim(lower(
+# text)), '\s+') == Spark split(trim(lower(text)), '\s+'). Left folds via
+# list_reduce(list_prepend(...)) mirror Spark F.aggregate exactly.
+# --------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+    "CAST({b} AS DOUBLE[])), z -> z[1]*z[2])), (acc, x) -> acc + x)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+
+ORACLE_SQL = {
+    "a1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "a2_distinct_orders": """
+        SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "a3_min_open_order": """
+        SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_open_date,
+               min(o_orderkey) AS min_open_key
+        FROM orders WHERE o_orderstatus != 'F'
+    """,
+    "a4_event_histogram": """
+        SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type ASC
+    """,
+    "a5_partition_audit": """
+        SELECT lang, count(*) AS rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY lang
+    """,
+    "a7_running_revenue": """
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                 round(sum(o_totalprice), 2) AS day_total
+          FROM orders GROUP BY 1)
+        SELECT order_date, day_total,
+               round(sum(day_total) OVER (ORDER BY order_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM daily
+    """,
+    "a8_null_audit": """
+        WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        SELECT count(*) FILTER (o.n_orders IS NULL) AS customers_without_orders,
+               count(*) AS total_customers
+        FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    "w1_topk_per_group": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    "w2_lag_delta": """
+        SELECT user_id, event_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), 6) AS delta
+        FROM events
+    """,
+    "j1_rowid_token_join": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_transform({_TOKS},
+                   (x, i) -> struct_pack(tok := x, pos := i))) AS s
+          FROM documents),
+        flat AS (SELECT doc_id, s.tok AS token, s.pos AS pos FROM t),
+        probe AS (SELECT doc_id, token FROM flat WHERE pos % 2 = 1),
+        lookup AS (SELECT DISTINCT doc_id, token FROM flat WHERE pos % 2 = 0)
+        SELECT probe.doc_id AS doc_id, count(*) AS n_matches
+        FROM probe JOIN lookup USING (doc_id, token)
+        GROUP BY probe.doc_id
+    """,
+    "j5_presence_flags": """
+        WITH fo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             fd AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT c_custkey,
+               coalesce(fo.o_custkey IS NOT NULL, FALSE) AS has_open,
+               coalesce(fd.o_custkey IS NOT NULL, FALSE) AS has_done,
+               (fo.o_custkey IS NOT NULL AND fd.o_custkey IS NOT NULL) AS has_both
+        FROM customer c
+        LEFT JOIN fo ON c.c_custkey = fo.o_custkey
+        LEFT JOIN fd ON c.c_custkey = fd.o_custkey
+    """,
+    "j_anti_resume": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "j_semi_exists": """
+        SELECT p_partkey FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "u1_diagonal_concat": """
+        SELECT o_orderstatus AS status, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total, NULL AS flag
+        FROM orders GROUP BY 1
+        UNION ALL BY NAME
+        SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1
+    """,
+    "p6_regex_extract": """
+        SELECT doc_id,
+               CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_num,
+               'file.parquet' AS fname
+        FROM documents WHERE regexp_matches(source, '^src1\\d$')
+    """,
+    "n8_json_map_explode": """
+        WITH kx AS (
+          SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+        SELECT event_id, key,
+               CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS value
+        FROM kx
+    """,
+    "o3_sort_slice": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 100
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS digest, count(*) AS n_dupes, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """,
+    "dedup_token_jaccard": f"""
+        WITH t AS (SELECT doc_id, lang,
+                          list_sort(list_distinct({_TOKS})) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+    """,
+    "ann_topk_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 {_cosine_sql('q.qvec', 'e.embedding')} AS sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= 5
+    """,
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                   (a, b) -> a + b) AS DOUBLE) / len(toks), 4) AS avg_token_len
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id,
+               {_stop_hits('en')} AS hits_en,
+               {_stop_hits('de')} AS hits_de,
+               {_stop_hits('fr')} AS hits_fr,
+               {_stop_hits('es')} AS hits_es,
+               {_stop_hits('zh')} AS hits_zh
+              FROM t)
+        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+          CASE
+            WHEN hits_zh > greatest(hits_en, hits_de, hits_fr, hits_es, 0) THEN 'zh'
+            WHEN hits_es > greatest(hits_en, hits_de, hits_fr, 0) THEN 'es'
+            WHEN hits_fr > greatest(hits_en, hits_de, 0) THEN 'fr'
+            WHEN hits_de > greatest(hits_en, 0) THEN 'de'
+            WHEN hits_en > 0 THEN 'en'
+            ELSE 'und' END AS pred_lang
+        FROM s
+    """,
+    "text_quality_score": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        f AS (SELECT doc_id,
+                len(toks) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+                CAST({_stop_hits('en')} AS DOUBLE) / len(toks) AS stopword_ratio,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / length(text) AS alpha_ratio,
+                least(len(toks) / 100.0, 1.0) AS len_score
+              FROM t)
+        SELECT doc_id, n_tokens,
+               round(distinct_ratio, 6) AS distinct_ratio,
+               round(stopword_ratio, 6) AS stopword_ratio,
+               round(alpha_ratio, 6) AS alpha_ratio,
+               round(0.25*len_score + 0.25*distinct_ratio + 0.25*stopword_ratio
+                     + 0.25*alpha_ratio, 6) AS quality
+        FROM f
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                 (h, x) -> (h * 31 + x) % 2147483647) AS fingerprint
+        FROM t
+    """,
+    "cc_components": """
+        SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS entity_id,
+               'Q' || CAST((c_custkey // 10) * 10 AS VARCHAR) AS canonical_id
+        FROM customer
+    """,
+}

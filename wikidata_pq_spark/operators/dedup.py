@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, ordered by cost:
+
+- exact: hash-groupBy (one shuffle on the digest; at 100 TB the digest
+  shuffle is ~32 bytes/row -- always do this first).
+- token-set Jaccard: blocked self-join; the block key (here: lang)
+  bounds the quadratic term. Exact, oracle-checkable.
+- MinHash + LSH banding: shingle -> signature -> band buckets ->
+  candidate pairs. Sub-quadratic: only rows sharing a band bucket ever
+  meet in the join. Signatures are pure Catalyst expressions
+  (xxhash64 + universal hashing), no Python.
+- SimHash: 64-bit near-dup fingerprint via a vectorized pandas UDF
+  (bit-level ops aren't expressible as array functions without 64
+  nested lambdas -- the sanctioned Arrow slow path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b within int64 under ANSI mode
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text digest.
+
+    Returns (digest, n_dupes, keep_id) where keep_id is the minimum id
+    (deterministic survivor pick).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dupes"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (a_id < b_id).
+
+    Blocked self-join: rows only compare within a block (language), the
+    standard guard that keeps the pair count tractable; at 100 TB you'd
+    LSH first (below) and use this as the verify stage on candidates.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.array_sort(TX.distinct_tokens(F.col(text_col))).alias("toks"),
+    )
+    a = base.select(
+        F.col("id").alias("a_id"), F.col("blk"), F.col("toks").alias("a_toks")
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), F.col("blk"), F.col("toks").alias("b_toks")
+    )
+    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.size(F.array_union("a_toks", "b_toks"))
+    jac = inter / union
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<long>): distributed MinHash, fully JVM-side.
+
+    Explode 3-gram shingle hashes ONCE, apply the n_hashes universal
+    hashes h_i(s) = (a_i*xx(s)+b_i) mod (2^31-1) per shingle row, then
+    n_hashes column-min aggregates per document. Linear work, map-side
+    partial aggregation; docs with < n tokens have no shingles and drop
+    out (no signature => no candidates). Avoids the nested-lambda form,
+    whose expression tree re-evaluates the shingle array per hash
+    function (measured ~30x slower).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.shingles(TX.tokens(F.col(text_col)), n)).alias("shingle"),
+    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("h"))
+    mins = [
+        F.min(
+            F.pmod(F.lit(2 * i + 1) * F.col("h") + F.lit(1000003 * (i + 1)), F.lit(MERSENNE))
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding candidate pairs (a_id < b_id, with band evidence).
+
+    shingle -> minhash -> split signature into bands -> groupBy
+    (band_idx, band hash) -> self-join within bucket. The scale path:
+    pair generation is linear in bucket sizes, never corpus-quadratic.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(df, n_hashes=n_hashes, text_col=text_col, id_col=id_col)
+    bands = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(
+        F.col("id").alias("a_id"), "band_idx", "band_key"
+    )
+    b = bands.select(F.col("id").alias("b_id"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched pandas UDF).
+
+    Token hash = first 8 bytes of md5 (engine-independent); bit votes
+    weighted by token frequency; sign -> bit. Returned as signed int64.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def batch(it):
+        for pdf in it:
+            ids, out = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = str(txt or "").lower().split()
+                votes = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for t in toks:
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    )
+                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    votes += np.where(bits == 1, 1, -1)
+                val = 0
+                for i in range(64):
+                    if votes[i] > 0:
+                        val |= 1 << i
+                # to signed int64
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(did)
+                out.append(val)
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batch, SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pairing uses the block trick (split 64 bits into max_hamming+1
+    chunks; a pair within distance d shares at least one exact chunk) --
+    the same banding idea as LSH, so no quadratic self-join.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sigs = simhash64(df, **kw)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk_val"),
+        )
+        for i in range(n_chunks)
+    ]
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "chunk_idx", "chunk_val"
+    )
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k. The query side is tiny and
+  broadcast; the corpus side streams -- one pass, no shuffle of the
+  corpus. The correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH bucketing -- the scale path: the
+  corpus is bucketed by sign-bit signature, candidates only meet within
+  a bucket (plus multi-probe neighbors), turning O(Q x N) into
+  O(Q x bucket).
+- ``embedding_dup_pairs``: near-duplicate detection by pairwise cosine
+  over a blocked self-join (dedup family, embedding modality).
+
+All dot products are JVM-side zip_with/aggregate folds in double --
+no Python, and bitwise-reproducible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as VX
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1..k.
+
+    Queries = the n_queries lowest ids (deterministic). Ties broken by
+    neighbor id so ranks are hash-stable across engines.
+    """
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", VX.cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Signature bucket id = sign bits of dot(vec, plane_j)."""
+    bits = [
+        F.when(VX.dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << j))
+        .otherwise(F.lit(0))
+        for j, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    With n_planes sign bits the corpus splits into 2^n_planes buckets;
+    recall is traded for a 2^n_planes candidate reduction. At 100 TB
+    the bucketed corpus is also how you'd physically cluster the table
+    (bucket column = partition key).
+    """
+    planes = _planes(dim, n_planes, seed)
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    queries = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    corpus = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", VX.cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs: cosine >= threshold, a_id < b_id."""
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.col(vec_col).alias("vec"),
+    )
+    a = base.select(F.col("id").alias("a_id"), "blk", F.col("vec").alias("a_vec"))
+    b = base.select(F.col("id").alias("b_id"), "blk", F.col("vec").alias("b_vec"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", F.round(VX.cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
