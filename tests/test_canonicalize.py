@@ -9,41 +9,50 @@ from wikidata_pq_spark import datagen, oracle
 from wikidata_pq_spark.operators import canonicalize
 
 
-def _cc(spark, edges: list[tuple[str, str]]) -> dict[str, str]:
+DT = [0, 200_000]  # 0 = force distributed label propagation; big = driver union-find
+
+
+def _cc(spark, edges: list[tuple[str, str]], dt: int = 0) -> dict[str, str]:
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["src_id", "dst_id"]))
-    out = canonicalize.connected_components(df).toPandas()
+    out = canonicalize.connected_components(df, driver_threshold=dt).toPandas()
     return dict(zip(out["entity_id"], out["canonical_id"]))
 
 
-def test_chain(spark):
-    comp = _cc(spark, [("Q1", "Q2"), ("Q2", "Q3"), ("Q3", "Q4")])
+@pytest.mark.parametrize("dt", DT)
+def test_chain(spark, dt):
+    comp = _cc(spark, [("Q1", "Q2"), ("Q2", "Q3"), ("Q3", "Q4")], dt)
     assert comp == {"Q1": "Q1", "Q2": "Q1", "Q3": "Q1", "Q4": "Q1"}
 
 
 def test_long_chain_pointer_jumping(spark):
     """A 40-deep chain converges well under the 25-iteration cap."""
     edges = [(f"Q{i}", f"Q{i+1}") for i in range(1, 41)]
-    comp = _cc(spark, edges)
+    comp = _cc(spark, edges, 0)
     assert set(comp.values()) == {"Q1"}
     assert len(comp) == 41
 
 
-def test_star_and_singleton_components(spark):
-    comp = _cc(spark, [("Q10", "Q5"), ("Q10", "Q7"), ("Q10", "Q20"), ("Q100", "Q101")])
+@pytest.mark.parametrize("dt", DT)
+def test_star_and_singleton_components(spark, dt):
+    comp = _cc(
+        spark, [("Q10", "Q5"), ("Q10", "Q7"), ("Q10", "Q20"), ("Q100", "Q101")], dt
+    )
     assert comp["Q10"] == "Q5" and comp["Q7"] == "Q5" and comp["Q20"] == "Q5"
     assert comp["Q100"] == "Q100" and comp["Q101"] == "Q100"
 
 
-def test_numeric_aware_min(spark):
+@pytest.mark.parametrize("dt", DT)
+def test_numeric_aware_min(spark, dt):
     # string-min would pick "Q10" over "Q2"; numeric-aware must pick Q2
-    comp = _cc(spark, [("Q10", "Q2")])
+    comp = _cc(spark, [("Q10", "Q2")], dt)
     assert comp == {"Q10": "Q2", "Q2": "Q2"}
 
 
-def test_matches_union_find_on_generated_edges(spark):
+@pytest.mark.parametrize("dt", DT)
+def test_matches_union_find_on_generated_edges(spark, dt):
     sa = datagen.gen_same_as(200)
     golden = oracle.union_find_components(sa)
-    got = _cc(spark, list(zip(sa["src_id"], sa["dst_id"])))
+    got = _cc(spark, list(zip(sa["src_id"], sa["dst_id"])), dt)
     assert got == golden
 
 

@@ -1,0 +1,75 @@
+"""Physical-plan audit: assert the plans we claim are the plans we get.
+
+For each audited query, prints the formatted plan and checks
+scale-relevant properties:
+
+- parquet scans carry PushedFilters / pruned ReadSchema where expected
+- dimension joins are BroadcastHashJoin, not SortMerge
+- hot paths sit inside WholeStageCodegen spans
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere except the
+  intentional ANN query-corpus cross join
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from wikidata_pq_spark import contracts  # noqa: E402
+from wikidata_pq_spark.session import get_spark  # noqa: E402
+
+CHECKS = {
+    # name: (must_contain regexes, must_not_contain regexes)
+    "a1_pricing_summary": (
+        [r"PushedFilters: \[IsNotNull\(l_shipdate\)", r"WholeStageCodegen", r"ReadSchema:[^\n]*l_returnflag"],
+        [r"SortMergeJoin"],
+    ),
+    "q3_shipping_priority": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "q5_region_revenue": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "j1_rowid_token_join": ([r"Generate explode"], [r"CartesianProduct"]),
+    "dedup_token_jaccard": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], []),
+    "ann_topk_bruteforce": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
+    "w1_topk_per_group": ([r"Window"], []),
+    "kg_triples": ([r"MapInPandas", r"BroadcastHashJoin"], [r"CartesianProduct"]),
+}
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    failures = 0
+    for name, (must, must_not) in CHECKS.items():
+        df = contracts.QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        problems = []
+        for pat in must:
+            if not re.search(pat, plan):
+                problems.append(f"missing /{pat}/")
+        for pat in must_not:
+            if re.search(pat, plan):
+                problems.append(f"forbidden /{pat}/ present")
+        status = "ok " if not problems else "FAIL"
+        failures += bool(problems)
+        print(f"{status} {name}" + ("" if not problems else ": " + "; ".join(problems)))
+        if problems:
+            print(plan[:4000])
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,113 @@ def golden_components(n_entities: int = 500) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["entity_id", "canonical_id"])
 
 
+def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
+    """Reference-shaped nested-JSON entity rows (FIXTURES.md #5).
+
+    Miniature of the wikidata-pq source schema: id + JSON-string columns
+    labels/descriptions/aliases/sitelinks/claims, with claims spanning
+    all four datatype branches (wikibase-item, quantity unit-ful and
+    dimensionless, scalar, monolingualtext) and ~10% null alias rows
+    (reference: README.md:48-52, process.py:111-183).
+    """
+    import json
+
+    rng = np.random.default_rng(seed)
+    langs = ["en", "de", "fr", "es"]
+    sites = ["enwiki", "dewiki", "frwiki"]
+    rows = []
+    for i in range(n):
+        qid = f"Q{i + 1}"
+        my_langs = sorted(
+            rng.choice(langs, size=int(rng.integers(1, len(langs) + 1)), replace=False)
+        )
+        labels = {
+            lang: {"language": lang, "value": f"label_{qid}_{lang}"} for lang in my_langs
+        }
+        descriptions = {
+            lang: {"language": lang, "value": f"desc_{qid}_{lang}"} for lang in my_langs
+        }
+        if rng.random() < 0.1:
+            aliases = None
+        else:
+            aliases = {
+                lang: [
+                    {"language": lang, "value": f"alias_{qid}_{lang}_{j}"}
+                    for j in range(int(rng.integers(1, 3)))
+                ]
+                for lang in my_langs
+            }
+        sitelinks = {
+            s: {"site": s, "title": f"title_{qid}_{s}"}
+            for s in sites[: int(rng.integers(1, len(sites) + 1))]
+        }
+        claims: dict[str, list] = {}
+        n_claims = int(rng.integers(1, 5))
+        for c in range(n_claims):
+            prop = f"P{int(rng.integers(1, 30))}"
+            kind = ["wikibase-item", "quantity", "string", "monolingualtext"][
+                int(rng.integers(0, 4))
+            ]
+            pl_langs = sorted(
+                rng.choice(langs, size=int(rng.integers(1, len(langs) + 1)), replace=False)
+            )
+            property_labels = {lang: f"plabel_{prop}_{lang}" for lang in pl_langs}
+            dv: dict = {"type": kind}
+            if kind == "wikibase-item":
+                tgt = f"Q{int(rng.integers(1, n + 1))}"
+                dv_langs = sorted(
+                    rng.choice(langs, size=int(rng.integers(1, len(langs) + 1)), replace=False)
+                )
+                dv["value_id"] = tgt
+                dv["labels"] = {lang: f"label_{tgt}_{lang}" for lang in dv_langs}
+            elif kind == "quantity":
+                dv["amount"] = float(rng.integers(1, 1000))
+                if rng.random() < 0.5:
+                    unit = f"Q{int(rng.integers(1, n + 1))}"
+                    dv["unit"] = unit
+                    ul_langs = sorted(
+                        rng.choice(
+                            langs, size=int(rng.integers(1, len(langs) + 1)), replace=False
+                        )
+                    )
+                    dv["unit_labels"] = {lang: f"ulabel_{unit}_{lang}" for lang in ul_langs}
+                else:
+                    dv["unit_labels"] = {}
+            elif kind == "string":
+                dv["value_str"] = f"str_{qid}_{c}"
+            else:
+                lang = str(rng.choice(langs))
+                dv["text"] = f"mono_{qid}_{c}"
+                dv["language"] = lang
+                # ~20% of monolingual claims lack the matching property
+                # label -> row dropped (inner-join-miss semantics)
+                if rng.random() < 0.8 and lang not in property_labels:
+                    property_labels[lang] = f"plabel_{prop}_{lang}"
+            claim = {
+                "mainsnak": {
+                    "property": prop,
+                    "datatype": kind,
+                    "datavalue": dv,
+                    "property_labels": property_labels,
+                },
+                "rank": str(rng.choice(["normal", "preferred", "deprecated"])),
+            }
+            claims.setdefault(prop, []).append(claim)
+        rows.append(
+            (
+                qid,
+                json.dumps(labels),
+                json.dumps(descriptions),
+                json.dumps(aliases) if aliases is not None else None,
+                json.dumps(sitelinks),
+                json.dumps(claims),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["id", "labels", "descriptions", "aliases", "sitelinks", "claims"]
+    )
+
+
 def gen_transcripts(
     n_convs: int = 200,
     mean_turns: int = 10,
@@ -150,38 +257,77 @@ def gen_transcripts(
     weights = 1.0 / (ranks + 1.0) ** 1.1
     weights /= weights.sum()
 
-    lengths = np.minimum(rng.zipf(1.6, size=n_convs) + mean_turns // 2, mean_turns * 8)
-    base_ts = np.datetime64("2026-01-01T00:00:00")
-    rows = []
-    for c in range(n_convs):
-        conv_id = f"c{c:06d}"
-        n_turns = int(lengths[c])
-        for t in range(n_turns):
-            role = ROLES[t % 3]
-            tool = TOOLS[int(rng.integers(0, len(TOOLS)))] if role == "tool" else None
-            u = rng.random()
-            if u < 0.55:
-                tmpl, kind = _REL_TEMPLATES[int(rng.integers(0, len(_REL_TEMPLATES)))]
-                s = str(rng.choice(aliases, p=weights))
-                o = str(rng.choice(aliases, p=weights))
-                text = tmpl.format(
-                    s=s, o=o, y=int(rng.integers(1900, 2026)), n=int(rng.integers(1, 99999))
-                )
-            elif u < 0.70 and t > 0:
-                tmpl, kind = _COREF_TEMPLATES[int(rng.integers(0, len(_COREF_TEMPLATES)))]
-                o = str(rng.choice(aliases, p=weights))
-                text = tmpl.format(
-                    o=o, y=int(rng.integers(1900, 2026))
-                )
-            else:
-                text = _FILLER[int(rng.integers(0, len(_FILLER)))]
-            ts = base_ts + np.timedelta64(c * 3600 + t * 30, "s")
-            rows.append((conv_id, t, role, text, tool, ts))
-    pdf = pd.DataFrame(
-        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    lengths = np.minimum(
+        rng.zipf(1.6, size=n_convs) + mean_turns // 2, mean_turns * 8
+    ).astype(np.int64)
+    n = int(lengths.sum())
+
+    # fully vectorized row construction (generates millions of turns/sec)
+    conv_num = np.repeat(np.arange(n_convs), lengths)
+    ends = np.cumsum(lengths)
+    t_idx = (np.arange(n) - np.repeat(ends - lengths, lengths)).astype(np.int64)
+
+    u = rng.random(n)
+    s_alias = rng.choice(aliases, size=n, p=weights)
+    o_alias = rng.choice(aliases, size=n, p=weights)
+    years = rng.integers(1900, 2026, size=n).astype(str)
+    nums = rng.integers(1, 99999, size=n).astype(str)
+    rel_t = rng.integers(0, len(_REL_TEMPLATES), size=n)
+    cor_t = rng.integers(0, len(_COREF_TEMPLATES), size=n)
+    fil_t = rng.integers(0, len(_FILLER), size=n)
+    tool_t = rng.integers(0, len(TOOLS), size=n)
+
+    is_rel = u < 0.55
+    is_cor = (~is_rel) & (u < 0.70) & (t_idx > 0)
+    sa = pd.Series(s_alias, dtype=object)
+    oa = pd.Series(o_alias, dtype=object)
+    yr = pd.Series(years, dtype=object)
+    nm = pd.Series(nums, dtype=object)
+
+    # masked per-branch composition: each template's strings are built
+    # only for its own rows (object-dtype concat, no wide char arrays)
+    text = np.empty(n, dtype=object)
+    rel_parts = [
+        lambda m: sa[m] + " was founded by " + oa[m],
+        lambda m: sa[m] + " works at " + oa[m],
+        lambda m: sa[m] + " is located in " + oa[m],
+        lambda m: sa[m] + " is the ceo of " + oa[m],
+        lambda m: sa[m] + " acquired " + oa[m],
+        lambda m: sa[m] + " was founded in " + yr[m],
+        lambda m: sa[m] + " employs " + nm[m] + " people",
+    ]
+    for k, make in enumerate(rel_parts):
+        m = is_rel & (rel_t == k)
+        text[m] = make(m).to_numpy()
+    cor_parts = [
+        lambda m: "it was founded by " + oa[m],
+        lambda m: "it is located in " + oa[m],
+        lambda m: "it acquired " + oa[m],
+        lambda m: "it was founded in " + yr[m],
+    ]
+    for k, make in enumerate(cor_parts):
+        m = is_cor & (cor_t == k)
+        text[m] = make(m).to_numpy()
+    m_fil = ~(is_rel | is_cor)
+    text[m_fil] = np.array(_FILLER, dtype=object)[fil_t[m_fil]]
+
+    roles = np.array(ROLES)[t_idx % 3]
+    tools = np.where(roles == "tool", np.array(TOOLS)[tool_t], None)
+    ts = (
+        np.datetime64("2026-01-01T00:00:00")
+        + (conv_num * 3600 + t_idx * 30).astype("timedelta64[s]")
     )
-    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-    pdf["ts"] = pd.to_datetime(pdf["ts"])
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": np.char.add("c", np.char.zfill(conv_num.astype(str), 6)),
+            "turn_idx": t_idx.astype("int32"),
+            "role": roles,
+            "text": text,
+            "tool": tools,
+            "ts": pd.to_datetime(ts),
+        }
+    )
     if shuffle:
         pdf = pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
     return pdf

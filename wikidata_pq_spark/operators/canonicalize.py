@@ -35,15 +35,37 @@ def _order_key(col):
 
 
 def connected_components(
-    same_as: DataFrame, max_iter: int = 25
+    same_as: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """same_as(src_id, dst_id) -> (entity_id, canonical_id).
 
     Returns one row per vertex appearing in any edge. Vertices with no
     edges are their own canonical id (callers simply coalesce missing
     lookups to identity).
+
+    Hybrid strategy: a same-as table below ``driver_threshold`` edges is
+    broadcast-sized, so the driver runs exact union-find in one pass
+    (the analogue of the reference's driver-side metadata ops,
+    reference: prefetch.py:101) -- iterating Spark jobs over a tiny graph
+    is pure scheduling overhead. Above the threshold, distributed
+    min-label propagation with pointer jumping takes over. Both paths
+    produce identical labels (tested); pass ``driver_threshold=0`` to
+    force the distributed path.
     """
     spark = same_as.sparkSession
+    if driver_threshold and same_as.limit(driver_threshold + 1).count() <= driver_threshold:
+        import pandas as pd
+
+        from ..oracle import union_find_components
+
+        edges_pd = same_as.select("src_id", "dst_id").toPandas()
+        comp = union_find_components(edges_pd)
+        out = pd.DataFrame(
+            {"entity_id": list(comp.keys()), "canonical_id": list(comp.values())}
+        )
+        return spark.createDataFrame(out, schema="entity_id string, canonical_id string")
     edges = (
         same_as.select(F.col("src_id").alias("a"), F.col("dst_id").alias("b"))
         .union(same_as.select(F.col("dst_id").alias("a"), F.col("src_id").alias("b")))

@@ -53,20 +53,34 @@ def token_jaccard_pairs(
     standard guard that keeps the pair count tractable; at 100 TB you'd
     LSH first (below) and use this as the verify stage on candidates.
     """
+    # token sets as xxhash64 ints: set sizes/intersections are identical
+    # to the string form (64-bit collisions are negligible at any corpus
+    # vocabulary), and long-array intersects are much cheaper than
+    # string-array intersects in the pair loop.
     base = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        F.array_sort(TX.distinct_tokens(F.col(text_col))).alias("toks"),
-    )
+        F.array_sort(
+            F.array_distinct(
+                F.transform(TX.distinct_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+            )
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks"))
     a = base.select(
-        F.col("id").alias("a_id"), F.col("blk"), F.col("toks").alias("a_toks")
+        F.col("id").alias("a_id"), F.col("blk"), F.col("toks").alias("a_toks"),
+        F.col("n").alias("a_n"),
     )
     b = base.select(
-        F.col("id").alias("b_id"), F.col("blk"), F.col("toks").alias("b_toks")
+        F.col("id").alias("b_id"), F.col("blk"), F.col("toks").alias("b_toks"),
+        F.col("n").alias("b_n"),
     )
-    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    # size-ratio prefilter: jaccard >= t implies min/max set size >= t --
+    # a scalar predicate that prunes pairs BEFORE any array intersection
+    # (no effect on the result set, large effect on the dominant cost).
+    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= threshold
+    pairs = a.join(b, "blk").filter((F.col("a_id") < F.col("b_id")) & size_ok)
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    union = F.size(F.array_union("a_toks", "b_toks"))
+    union = F.col("a_n") + F.col("b_n") - inter
     jac = inter / union
     return (
         pairs.withColumn("jaccard", F.round(jac, 6))

@@ -1,0 +1,248 @@
+"""Entity->rows flattening: the reference's core semantics, Spark-first.
+
+Reproduces lmmx/wikidata-pq's five-table flattening of nested-JSON
+entity records (reference: process.py:285-348, claims.py:37-213) with
+Catalyst-native operators only (from_json, explode, map_entries,
+struct access, row-indexed equi-joins, unionByName) -- no Python UDFs.
+
+Tables (reference: config.py:29-34):
+  labels / descriptions : {lang: {language, value}}        -> (id, language, value)
+  aliases               : {lang: [{language, value}, ...]} -> (id, language, value)
+  links                 : {site: {site, title}}            -> (id, site, title)
+  claims                : {P##: [claim, ...]}              -> four datatype branches
+
+The claims dataflow mirrors reference claims.py:
+  base      : explode map values -> explode claim list -> unnest mainsnak
+              (reference: claims.py:37-45)
+  wikibase  : row-indexed lookup join on (row_id, language) against the
+              exploded datavalue.labels map -- the cartesian-avoidance
+              rewrite (reference: claims.py:48-89)
+  quantity  : split on unit-labels emptiness; unit-ful joins unit-labels,
+              dimensionless explodes property-labels directly; branches
+              re-united diagonally (reference: claims.py:92-146)
+  scalar    : explode property-labels (reference: claims.py:149-160)
+  monolingual: language comes FROM the datavalue; property label fetched
+              by map lookup (reference: claims.py:163-195 uses a join;
+              element_at on the map is the Spark-native equivalent with
+              identical semantics)
+  concat    : unionByName(allowMissingColumns=True) == pl.concat(
+              how="diagonal") (reference: claims.py:206-213)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Declared schemas (the reference pins these and validates runtime
+# inference against them, reference: process.py:111-183; see
+# plans.schema_check for the subset-tolerant validation semantics).
+LANG_VALUE = T.StructType(
+    [T.StructField("language", T.StringType()), T.StructField("value", T.StringType())]
+)
+LABELS_SCHEMA = T.MapType(T.StringType(), LANG_VALUE)
+ALIASES_SCHEMA = T.MapType(T.StringType(), T.ArrayType(LANG_VALUE))
+SITELINK = T.StructType(
+    [T.StructField("site", T.StringType()), T.StructField("title", T.StringType())]
+)
+SITELINKS_SCHEMA = T.MapType(T.StringType(), SITELINK)
+
+DATAVALUE = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("value_id", T.StringType()),      # wikibase-item target
+        T.StructField("value_str", T.StringType()),     # string/time/external-id
+        T.StructField("amount", T.DoubleType()),        # quantity
+        T.StructField("unit", T.StringType()),          # quantity unit entity
+        T.StructField("text", T.StringType()),          # monolingualtext
+        T.StructField("language", T.StringType()),      # monolingualtext
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("unit_labels", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+MAINSNAK = T.StructType(
+    [
+        T.StructField("property", T.StringType()),
+        T.StructField("datatype", T.StringType()),
+        T.StructField("datavalue", DATAVALUE),
+        T.StructField("property_labels", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+CLAIM = T.StructType(
+    [T.StructField("mainsnak", MAINSNAK), T.StructField("rank", T.StringType())]
+)
+CLAIMS_SCHEMA = T.MapType(T.StringType(), T.ArrayType(CLAIM))
+
+WIKIBASE_TYPES = ["wikibase-item", "wikibase-property"]
+SCALAR_TYPES = ["string", "time", "external-id", "url"]
+
+
+def flatten_labels(df: DataFrame, column: str = "labels") -> DataFrame:
+    """Map<Record> normalisation (reference: process.py:42-48 +
+    transforms.py:23-25): decode -> explode -> drop key -> unnest."""
+    m = F.from_json(F.col(column), LABELS_SCHEMA)
+    kv = df.select("id", F.explode(m).alias("key", "v")).drop("key")
+    return kv.select("id", F.col("v.language").alias("language"), F.col("v.value").alias("value"))
+
+
+def flatten_aliases(df: DataFrame) -> DataFrame:
+    """Map<List<Record>> variant with null-row dropping (~10% null by
+    design, reference: transforms.py:28-35, README.md:48-52)."""
+    m = F.from_json(F.col("aliases"), ALIASES_SCHEMA)
+    kv = (
+        df.na.drop(subset=["aliases"])
+        .select("id", F.explode(m).alias("key", "vs"))
+        .drop("key")
+        .select("id", F.explode("vs").alias("v"))
+    )
+    return kv.select("id", F.col("v.language").alias("language"), F.col("v.value").alias("value"))
+
+
+def flatten_links(df: DataFrame) -> DataFrame:
+    """Sitelinks map (reference: process.py:98-103)."""
+    m = F.from_json(F.col("sitelinks"), SITELINKS_SCHEMA)
+    kv = df.select("id", F.explode(m).alias("key", "v")).drop("key")
+    return kv.select("id", F.col("v.site").alias("site"), F.col("v.title").alias("title"))
+
+
+def _claims_base(df: DataFrame) -> DataFrame:
+    """Shared base: explode claims map -> claim array -> unnest mainsnak
+    (reference: claims.py:37-45); synthetic row id for the lookup joins
+    (reference: claims.py:54-56 with_row_index)."""
+    m = F.from_json(F.col("claims"), CLAIMS_SCHEMA)
+    base = (
+        df.na.drop(subset=["claims"])
+        .select("id", F.explode(m).alias("key", "claim_list"))
+        .drop("key")
+        .select("id", F.explode("claim_list").alias("claim"))
+        .select(
+            "id",
+            F.col("claim.rank").alias("rank"),
+            F.col("claim.mainsnak.property").alias("property"),
+            F.col("claim.mainsnak.datatype").alias("datatype"),
+            F.col("claim.mainsnak.datavalue").alias("datavalue"),
+            F.col("claim.mainsnak.property_labels").alias("property_labels"),
+        )
+        .withColumn("_row_id", F.monotonically_increasing_id())
+    )
+    return base
+
+
+_OUT_COLS = [
+    "id", "property", "datatype", "rank", "language",
+    "property_label", "value_id", "value_str", "amount", "unit",
+    "datavalue_label",
+]
+
+
+def _select_out(df: DataFrame, **overrides) -> DataFrame:
+    cols = []
+    for c in _OUT_COLS:
+        if c in overrides:
+            cols.append(overrides[c].alias(c))
+        elif c in df.columns:
+            cols.append(F.col(c))
+        else:
+            cols.append(F.lit(None).cast("string").alias(c))
+    return df.select(*cols)
+
+
+def _wikibase_branch(base: DataFrame) -> DataFrame:
+    """Row-indexed equi-join on (_row_id, language): the inner join IS
+    the language-match filter (reference: claims.py:48-89)."""
+    wb = base.filter(F.col("datatype").isin(WIKIBASE_TYPES))
+    lookup = wb.select(
+        "_row_id", F.explode(F.col("datavalue.labels")).alias("_lang", "datavalue_label")
+    )
+    main = wb.select(
+        "id", "property", "datatype", "rank", "_row_id",
+        F.col("datavalue.value_id").alias("value_id"),
+        F.explode("property_labels").alias("language", "property_label"),
+    )
+    joined = main.join(
+        lookup,
+        (main["_row_id"] == lookup["_row_id"]) & (main["language"] == lookup["_lang"]),
+        "inner",
+    ).drop("_lang")
+    return _select_out(joined)
+
+
+def _quantity_branch(base: DataFrame) -> DataFrame:
+    """Unit-ful vs dimensionless split on unit-labels emptiness
+    (reference: claims.py:92-146, list.len()>0 predicate at 99)."""
+    q = base.filter(F.col("datatype") == "quantity")
+    has_unit = F.size(F.map_keys(F.col("datavalue.unit_labels"))) > 0
+
+    unitful = q.filter(has_unit)
+    lookup = unitful.select(
+        "_row_id", F.explode(F.col("datavalue.unit_labels")).alias("_lang", "datavalue_label")
+    )
+    main = unitful.select(
+        "id", "property", "datatype", "rank", "_row_id",
+        F.col("datavalue.amount").alias("amount"),
+        F.col("datavalue.unit").alias("unit"),
+        F.explode("property_labels").alias("language", "property_label"),
+    )
+    u = main.join(
+        lookup,
+        (main["_row_id"] == lookup["_row_id"]) & (main["language"] == lookup["_lang"]),
+        "inner",
+    ).drop("_lang")
+
+    dimless = q.filter(~has_unit).select(
+        "id", "property", "datatype", "rank",
+        F.col("datavalue.amount").alias("amount"),
+        F.explode("property_labels").alias("language", "property_label"),
+    )
+    return _select_out(u).unionByName(_select_out(dimless))
+
+
+def _scalar_branch(base: DataFrame) -> DataFrame:
+    """Direct property-labels explode (reference: claims.py:149-160)."""
+    s = base.filter(F.col("datatype").isin(SCALAR_TYPES)).select(
+        "id", "property", "datatype", "rank",
+        F.col("datavalue.value_str").alias("value_str"),
+        F.explode("property_labels").alias("language", "property_label"),
+    )
+    return _select_out(s)
+
+
+def _monolingual_branch(base: DataFrame) -> DataFrame:
+    """Language comes from the datavalue; the property label is the map
+    entry for THAT language (reference: claims.py:163-195 join;
+    element_at has identical inner-join-miss semantics via the
+    null-filter)."""
+    m = base.filter(F.col("datatype") == "monolingualtext").select(
+        "id", "property", "datatype", "rank",
+        F.col("datavalue.text").alias("value_str"),
+        F.col("datavalue.language").alias("language"),
+        F.element_at(F.col("property_labels"), F.col("datavalue.language")).alias(
+            "property_label"
+        ),
+    )
+    return _select_out(m.filter(F.col("property_label").isNotNull()))
+
+
+def flatten_claims(df: DataFrame) -> DataFrame:
+    """Four-branch claims flattening + diagonal concat
+    (reference: claims.py:198-213)."""
+    base = _claims_base(df)
+    out = (
+        _wikibase_branch(base)
+        .unionByName(_quantity_branch(base), allowMissingColumns=True)
+        .unionByName(_scalar_branch(base), allowMissingColumns=True)
+        .unionByName(_monolingual_branch(base), allowMissingColumns=True)
+    )
+    return out
+
+
+def flatten_all(df: DataFrame) -> dict[str, DataFrame]:
+    """All five tables from one entity frame (reference: process.py:293-348)."""
+    return {
+        "labels": flatten_labels(df, "labels"),
+        "descriptions": flatten_labels(df, "descriptions"),
+        "aliases": flatten_aliases(df),
+        "links": flatten_links(df),
+        "claims": flatten_claims(df),
+    }

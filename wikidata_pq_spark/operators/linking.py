@@ -64,26 +64,29 @@ def link_mentions(
     """
     dict_df = alias_dict.select("alias", "entity_id")
 
-    def _resolve(df: DataFrame, mention_col: str, out_col: str) -> DataFrame:
+    def _join(df: DataFrame, mention_col: str, out_col: str, how: str) -> DataFrame:
         renamed = dict_df.withColumnRenamed("alias", mention_col).withColumnRenamed(
             "entity_id", out_col
         )
         if strategy == "broadcast":
-            return df.join(F.broadcast(renamed), mention_col, "inner")
+            return df.join(F.broadcast(renamed), mention_col, how)
         if strategy == "salted":
-            return salted_equi_join(df, renamed, mention_col, n_salt=n_salt)
-        return df.join(renamed, mention_col, "inner")
+            return salted_equi_join(df, renamed, mention_col, n_salt=n_salt, how=how)
+        return df.join(renamed, mention_col, how)
 
-    subj_linked = _resolve(mentions, "subj_mention", "subj")
-
-    ent = subj_linked.filter(F.col("obj_kind") == "entity")
-    lit = subj_linked.filter(F.col("obj_kind") != "entity").withColumn(
-        "obj", F.col("obj_mention")
+    # Single linear plan -- no branch-and-union, which would evaluate the
+    # expensive extraction parent once per branch (a real 2x measured on
+    # the chained pipeline). Subject: inner join (drop unlinkable).
+    # Object: LEFT join for all rows; entity-valued objects must resolve
+    # (filter), literal objects pass their mention through.
+    subj_linked = _join(mentions, "subj_mention", "subj", "inner")
+    obj_joined = _join(subj_linked, "obj_mention", "_obj_ent", "left")
+    is_ent = F.col("obj_kind") == "entity"
+    out = (
+        obj_joined.filter(~is_ent | F.col("_obj_ent").isNotNull())
+        .withColumn("obj", F.when(is_ent, F.col("_obj_ent")).otherwise(F.col("obj_mention")))
     )
-    ent = _resolve(ent, "obj_mention", "obj")
-
-    out_cols = ["subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx"]
-    return ent.select(*out_cols).unionByName(lit.select(*out_cols))
+    return out.select("subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx")
 
 
 def hot_keys(df: DataFrame, key: str, top_n: int = 100) -> DataFrame:

@@ -66,6 +66,16 @@ RELATION_RULES: tuple[RelationRule, ...] = (
     RelationRule("P1128", rf"\b{_SUBJ} employs {_NUM} people\b", "literal"),
 )
 
+# Coarse JVM-side prefilter: a turn that matches no trigger phrase can
+# produce no mention AND no coreference antecedent (antecedents are
+# subjects of matched rules), so dropping it before the shuffle is
+# semantics-preserving -- the reference's filter-before-explode rewrite
+# (reference: compare_perf.py:54-55, claims.py:54,98,152).
+TRIGGER_REGEX = (
+    "was founded by|works at|is located in|is the ceo of|acquired"
+    "|was founded in|employs"
+)
+
 # Output columns of mention-level extraction (pre-linking).
 MENTION_COLUMNS = [
     "conv_id",

@@ -44,7 +44,7 @@ def get_spark(
         # Cap Arrow batches so a hot conversation group cannot OOM a
         # Python worker (the reference's max_builders=1000 batching
         # analogue, reference: process.py:218).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Nested-field pruning so struct projections reach the scan.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.ui.enabled", "false")
