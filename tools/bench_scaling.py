@@ -213,7 +213,7 @@ executors. Sandbox substitution (no real cluster): the identical KG job
 (extract -> link -> canonicalize -> distinct triples) on the identical
 parquet input at `local[8]` vs `local[32]`, pinned with `taskset` to
 exactly 8 / 32 cores (JVM + Python workers inside the mask), fresh JVM
-per measurement, median of repeated runs.
+per measurement, minimum of repeated runs (hypervisor steal inflates individual runs up to 3x -- per-run steal ticks recorded in BENCH/scaling.json).
 
 ## Hardware ceiling (measured, not assumed)
 

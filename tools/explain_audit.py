@@ -27,7 +27,9 @@ from wikidata_pq_spark.session import get_spark  # noqa: E402
 CHECKS = {
     # name: (must_contain regexes, must_not_contain regexes)
     "a1_pricing_summary": (
-        [r"PushedFilters: \[IsNotNull\(l_shipdate\)", r"WholeStageCodegen", r"ReadSchema:[^\n]*l_returnflag"],
+        # formatted mode under AQE shows the pre-final plan (no codegen
+        # spans); pushdown + pruned ReadSchema are the assertions
+        [r"PushedFilters: \[IsNotNull\(l_shipdate\)", r"ReadSchema:[^\n]*l_returnflag", r"HashAggregate"],
         [r"SortMergeJoin"],
     ),
     "q3_shipping_priority": (
@@ -38,7 +40,7 @@ CHECKS = {
         [r"BroadcastHashJoin"],
         [r"CartesianProduct"],
     ),
-    "j1_rowid_token_join": ([r"Generate explode"], [r"CartesianProduct"]),
+    "j1_rowid_token_join": ([r"\) Generate"], [r"CartesianProduct"]),
     "dedup_token_jaccard": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], []),
     "ann_topk_bruteforce": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     "w1_topk_per_group": ([r"Window"], []),
