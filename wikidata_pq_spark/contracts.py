@@ -303,6 +303,34 @@ def q_region_revenue(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_math_round(spark, sf):
+    """F5/F6: arithmetic + round + string concat scalar functions."""
+    s = load(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") / 1000.0, 3).alias("bal_k"),
+        F.concat(F.lit("supplier/"), F.col("s_name")).alias("s_path"),
+    )
+
+
+def q_pivot_status(spark, sf):
+    """Pivot-as-conditional-agg (absent in the reference; Spark/DuckDB
+    both express it as FILTERed counts -- kept engine-portable)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_done"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+    )
+
+
+def q_union_distinct(spark, sf):
+    """U2: plain concat + distinct across two sources."""
+    c = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return c.union(o).distinct()
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dup_groups(load(spark, sf, "documents"))
 
@@ -427,6 +455,9 @@ QUERIES = {
     "o3_sort_slice": q_slice,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
+    "f6_math_round": q_math_round,
+    "x_pivot_status": q_pivot_status,
+    "u2_union_distinct": q_union_distinct,
     "dedup_exact": q_dedup_exact,
     "dedup_token_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -603,6 +634,23 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "f6_math_round": """
+        SELECT s_suppkey, round(s_acctbal / 1000.0, 3) AS bal_k,
+               'supplier/' || s_name AS s_path
+        FROM supplier
+    """,
+    "x_pivot_status": """
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (o_orderstatus = 'F') AS n_done,
+               count(*) FILTER (o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "u2_union_distinct": """
+        SELECT DISTINCT k FROM (
+          SELECT c_custkey AS k FROM customer
+          UNION ALL SELECT o_custkey AS k FROM orders)
     """,
     "dedup_exact": """
         SELECT md5(text) AS digest, count(*) AS n_dupes, min(doc_id) AS keep_id
