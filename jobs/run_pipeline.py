@@ -30,7 +30,15 @@ def main() -> None:
     p.add_argument("--same-as", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--buckets", type=int, default=64)
-    p.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted", "shuffle"])
+    p.add_argument(
+        "--link-strategy", default="broadcast",
+        choices=["auto", "broadcast", "salted", "shuffle"],
+    )
+    p.add_argument(
+        "--chunks", type=int, default=0,
+        help="run the chunk-granular resumable pipeline with N chunks "
+        "(0 = single-unit staged pipeline)",
+    )
     args = p.parse_args()
 
     # spark-submit provides master/conf; only adjust session-level SQL conf
@@ -39,17 +47,21 @@ def main() -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.sparkContext.setLogLevel("WARN")
 
-    from wikidata_pq_spark.pipeline import KGPipeline
+    from wikidata_pq_spark.pipeline import ChunkedKGPipeline, KGPipeline
 
-    pipe = KGPipeline(
-        spark, args.out, n_buckets=args.buckets, link_strategy=args.link_strategy
-    )
-    metrics = pipe.run(
-        spark.read.parquet(args.transcripts),
-        spark.read.parquet(args.alias_dict),
-        spark.read.parquet(args.same_as),
-    )
-    print(json.dumps({"status": "complete", **metrics}))
+    tdf = spark.read.parquet(args.transcripts)
+    adf = spark.read.parquet(args.alias_dict)
+    sdf = spark.read.parquet(args.same_as)
+    if args.chunks > 0:
+        cpipe = ChunkedKGPipeline(spark, args.out, n_chunks=args.chunks)
+        lineage = cpipe.run(tdf, adf, sdf)
+        print(json.dumps({"status": "complete", "chunks": lineage}))
+    else:
+        pipe = KGPipeline(
+            spark, args.out, n_buckets=args.buckets, link_strategy=args.link_strategy
+        )
+        metrics = pipe.run(tdf, adf, sdf)
+        print(json.dumps({"status": "complete", **metrics}))
     spark.stop()
 
 

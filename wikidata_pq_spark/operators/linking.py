@@ -63,6 +63,13 @@ def link_mentions(
     (reference: claims.py:206-213).
     """
     dict_df = alias_dict.select("alias", "entity_id")
+    if strategy == "auto":
+        # dictionary fits the broadcast budget -> map-side join; else the
+        # salted shuffle join (Zipf-hot aliases spread over n_salt
+        # reducers). One bounded count action decides.
+        limit = 5_000_000
+        small = dict_df.limit(limit + 1).count() <= limit
+        strategy = "broadcast" if small else "salted"
 
     def _join(df: DataFrame, mention_col: str, out_col: str, how: str) -> DataFrame:
         renamed = dict_df.withColumnRenamed("alias", mention_col).withColumnRenamed(

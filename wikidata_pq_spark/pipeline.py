@@ -130,3 +130,99 @@ class KGPipeline:
 
     def nodes(self) -> DataFrame:
         return self.spark.read.parquet(self.path("nodes"))
+
+
+class ChunkedKGPipeline:
+    """Chunk-granular resumable pipeline -- the faithful analogue of the
+    reference's FILE-granular state machine (reference: state.py:11-18
+    one JSONL per source file; main.py:65 chunk loop; process.py:279-282
+    skip-if-done): the corpus splits into n_chunks by conversation hash,
+    each chunk runs extract -> link -> canonical-rewrite -> append
+    independently with its own checkpoint unit and lineage row, and a
+    killed run resumes at the first incomplete chunk with completed
+    chunks untouched.
+
+    Canonicalization is corpus-global but depends only on the same_as
+    INPUT (not on chunk outputs), so the component map is computed once
+    up front and shared by every chunk -- the analogue of the
+    reference's remote-listing cache (size_verification.py:20-24).
+
+    At scale the chunk column is the Iceberg partition of the input
+    table, so each chunk's read is a partition-pruned scan rather than
+    this sandbox's filter-over-parquet.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str, n_chunks: int = 8):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_chunks = n_chunks
+        self.state = StateStore(os.path.join(out_dir, "_state"))
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    @staticmethod
+    def chunk_col(n_chunks: int):
+        return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_chunks)).cast("int")
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        alias_dict: DataFrame,
+        same_as: DataFrame,
+        fail_after_chunk: int | None = None,
+    ) -> dict:
+        """Process all incomplete chunks; returns {chunk: rows} lineage.
+
+        ``fail_after_chunk`` injects a crash after that chunk completes
+        (for kill/resume tests -- the reference's resumability is
+        exactly this property, DESIGN.md:119-129).
+        """
+        from .operators import canonicalize as canon_mod
+        from .operators import extract as extract_mod
+        from .operators import linking as linking_mod
+
+        comps = canon_mod.connected_components(same_as).localCheckpoint()
+        chunked = transcripts.withColumn("_chunk", self.chunk_col(self.n_chunks))
+
+        lineage: dict = {}
+        units = [f"chunk_{i:05d}" for i in range(self.n_chunks)]
+        for i, unit in enumerate(units):
+            if not self.state.gate(unit, Step.COMPLETE):
+                lineage[i] = self.state.metrics(unit).get("rows")
+                continue
+            part = chunked.filter(F.col("_chunk") == i).drop("_chunk")
+            mentions = extract_mod.extract_mentions(part)
+            linked = linking_mod.link_mentions(mentions, alias_dict)
+            triples = (
+                canon_mod.apply_canonical(linked, comps)
+                .select("subj", "pred", "obj", "conv_id", "turn_idx")
+                .distinct()
+                .withColumn("chunk", F.lit(i))
+            )
+            (
+                triples.write.mode("overwrite")
+                .parquet(os.path.join(self.path("triples"), f"chunk={i}"))
+            )
+            n = self.spark.read.parquet(
+                os.path.join(self.path("triples"), f"chunk={i}")
+            ).count()
+            self.state.set(unit, Step.COMPLETE, rows=n)
+            lineage[i] = n
+            if fail_after_chunk is not None and i >= fail_after_chunk:
+                raise RuntimeError(f"injected failure after chunk {i}")
+        # lineage table: per-chunk row counts (sidecar analogue,
+        # reference: core.py:25-35)
+        rows = [(int(i), int(n)) for i, n in lineage.items() if n is not None]
+        self.spark.createDataFrame(rows, "chunk int, rows bigint").write.mode(
+            "overwrite"
+        ).parquet(self.path("lineage"))
+        return lineage
+
+    def triples(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.path("triples")).parquet(
+            self.path("triples") + "/chunk=*"
+        )
+
+    def incomplete(self) -> list[str]:
+        return self.state.incomplete([f"chunk_{i:05d}" for i in range(self.n_chunks)])
