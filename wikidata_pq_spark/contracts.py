@@ -421,6 +421,40 @@ def q_kg_triples(spark, sf):
     ).distinct()
 
 
+def q_kg_triples_sql(spark, sf):
+    """Same pipeline with the pure-Catalyst extractor -- rows-only."""
+    tdf, adf, sdf = _kg_inputs(spark, sf)
+    mentions = extract.extract_mentions(tdf, method="sql")
+    linked = linking.link_mentions(mentions, adf, strategy="broadcast")
+    comps = canonicalize.connected_components(sdf)
+    return canonicalize.apply_canonical(linked, comps).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    ).distinct()
+
+
+_SF_ENTITY_ROWS = {"sf0.001": 50, "sf0.01": 200, "sf0.1": 1000}
+
+
+def q_flatten_claims(spark, sf):
+    """N1-N8 nested ops: four-branch claims flattening over reference-
+    shaped nested-JSON entity rows (rows-only; golden-tested in
+    tests/test_flatten.py against an independent python flattener)."""
+    from .operators import flatten
+
+    n = _SF_ENTITY_ROWS.get(os.path.basename(os.path.normpath(sf)), 50)
+    er = spark.createDataFrame(datagen.gen_entity_rows(n))
+    return flatten.flatten_claims(er)
+
+
+def q_flatten_labels(spark, sf):
+    """N6+N8: map->rows normalisation (labels table) -- rows-only."""
+    from .operators import flatten
+
+    n = _SF_ENTITY_ROWS.get(os.path.basename(os.path.normpath(sf)), 50)
+    er = spark.createDataFrame(datagen.gen_entity_rows(n))
+    return flatten.flatten_labels(er, "labels")
+
+
 def q_connected_components(spark, sf):
     """Iterative CC with a closed-form SQL oracle: chain edges over
     customer keys form blocks of 10; canonical = block head."""
@@ -472,6 +506,9 @@ QUERIES = {
     "mm_decode_features": q_media_features,
     "kg_extract_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
+    "kg_triples_sql": q_kg_triples_sql,
+    "flatten_claims_fourbranch": q_flatten_claims,
+    "flatten_labels_map": q_flatten_labels,
     "cc_components": q_connected_components,
 }
 
