@@ -59,6 +59,11 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # warm the JVM + scan path so the first measured query doesn't pay
+    # session startup (we measure operators, not JVM boot)
+    spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     timings: dict[str, float] = {}
     kg_rows = 0
     for name in BENCH_QUERIES:

@@ -303,6 +303,31 @@ def q_region_revenue(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_list_len_predicate(spark, sf):
+    """P7: list-length predicate (unit-labels split analogue,
+    reference: claims.py:99)."""
+    d = load(spark, sf, "documents")
+    toks = TX.distinct_tokens(F.col("text"))
+    return d.select("doc_id", F.size(toks).alias("n_distinct")).filter(
+        F.col("n_distinct") > 25
+    )
+
+
+def q_row_local_membership(spark, sf):
+    """P8: per-row membership in a row-local list (reference:
+    compare_perf.py:71 is_in(col) -- array_contains(col_arr, col))."""
+    d = load(spark, sf, "documents")
+    head = F.slice(TX.tokens(F.col("text")), 1, 5)
+    exploded = d.select(
+        "doc_id", head.alias("head5"), F.explode(TX.distinct_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        exploded.filter(F.array_contains(F.col("head5"), F.col("token")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_head_tokens"))
+    )
+
+
 def q_math_round(spark, sf):
     """F5/F6: arithmetic + round + string concat scalar functions."""
     s = load(spark, sf, "supplier")
@@ -489,6 +514,8 @@ QUERIES = {
     "o3_sort_slice": q_slice,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
+    "p7_list_len_predicate": q_list_len_predicate,
+    "p8_row_local_membership": q_row_local_membership,
     "f6_math_round": q_math_round,
     "x_pivot_status": q_pivot_status,
     "u2_union_distinct": q_union_distinct,
@@ -671,6 +698,18 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "p7_list_len_predicate": f"""
+        SELECT doc_id, len(list_distinct({_TOKS})) AS n_distinct
+        FROM documents WHERE len(list_distinct({_TOKS})) > 25
+    """,
+    "p8_row_local_membership": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id, toks[1:5] AS head5,
+                     unnest(list_distinct(toks)) AS token FROM t)
+        SELECT doc_id, count(*) AS n_head_tokens
+        FROM e WHERE list_contains(head5, token)
+        GROUP BY doc_id
     """,
     "f6_math_round": """
         SELECT s_suppkey, round(s_acctbal / 1000.0, 3) AS bal_k,
