@@ -76,6 +76,27 @@ def write_with_audit(
     audit.write.mode(mode).parquet(path + "_audit")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """True Spark bucketing (bucketBy + saveAsTable): a join between two
+    tables bucketed on the same key with the same bucket count needs NO
+    shuffle on either side -- the physical realization of the Iceberg
+    ``bucket(N, subj)`` layout the pipeline targets (SURVEY.md §7.2.6).
+
+    Requires a session catalog (spark-warehouse locally); tested to
+    produce a shuffle-free sort-merge join in tests/test_bucketing.py.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(name)
+
+
 def post_check(spark: SparkSession, path: str, partition_cols: list[str], id_col: str) -> bool:
     """Re-read what was written and compare against the sidecar.
 
