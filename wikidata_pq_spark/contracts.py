@@ -303,6 +303,30 @@ def q_region_revenue(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_asof_last_click(spark, sf):
+    """As-of backward join (custom operator; Spark lacks a native one):
+    for each purchase, the most recent prior click by the same user."""
+    from .operators import temporal
+
+    return temporal.asof_last_event(
+        load(spark, sf, "events"), match_type="click", target_type="purchase"
+    )
+
+
+def q_range_join_pairs(spark, sf):
+    """Bucketized range join: same-user event pairs within 60s."""
+    from .operators import temporal
+
+    return temporal.range_join_pairs(load(spark, sf, "events"), within_sec=60)
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min-gap session index per user."""
+    from .operators import temporal
+
+    return temporal.sessionize(load(spark, sf, "events"), gap_sec=1800)
+
+
 def q_list_len_predicate(spark, sf):
     """P7: list-length predicate (unit-labels split analogue,
     reference: claims.py:99)."""
@@ -514,6 +538,9 @@ QUERIES = {
     "o3_sort_slice": q_slice,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
+    "asof_last_click": q_asof_last_click,
+    "range_join_within": q_range_join_pairs,
+    "sessionize_events": q_sessionize,
     "p7_list_len_predicate": q_list_len_predicate,
     "p8_row_local_membership": q_row_local_membership,
     "f6_math_round": q_math_round,
@@ -698,6 +725,42 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "asof_last_click": """
+        WITH tagged AS (
+          SELECT user_id, event_id, ts, event_type,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_id,
+            last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_ts
+          FROM events)
+        SELECT user_id, event_id AS target_id, matched_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(matched_ts)) AS BIGINT) AS gap_sec
+        FROM tagged WHERE event_type = 'purchase'
+    """,
+    "range_join_within": """
+        SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+                 - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 60
+    """,
+    "sessionize_events": """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+            CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT user_id, event_id,
+               sum(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+        FROM g
     """,
     "p7_list_len_predicate": f"""
         SELECT doc_id, len(list_distinct({_TOKS})) AS n_distinct
