@@ -303,6 +303,19 @@ def q_region_revenue(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_rollup_revenue(spark, sf):
+    """Rollup subtotals (absent in the reference, Spark-native --
+    SURVEY §2.4 'built-in if needed' row exercised)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def q_asof_last_click(spark, sf):
     """As-of backward join (custom operator; Spark lacks a native one):
     for each purchase, the most recent prior click by the same user."""
@@ -538,6 +551,7 @@ QUERIES = {
     "o3_sort_slice": q_slice,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
+    "rollup_revenue": q_rollup_revenue,
     "asof_last_click": q_asof_last_click,
     "range_join_within": q_range_join_pairs,
     "sessionize_events": q_sessionize,
@@ -725,6 +739,11 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "rollup_revenue": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "asof_last_click": """
         WITH tagged AS (
