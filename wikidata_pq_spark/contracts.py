@@ -846,9 +846,11 @@ ORACLE_SQL = {
           FROM scored) WHERE rank <= 5
     """,
     "text_token_stats": f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id, len(toks) AS n_tokens,
                len(list_distinct(toks)) AS n_distinct_tokens,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subtokens,
                round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(toks, x -> CAST(length(x) AS BIGINT))),
                    (a, b) -> a + b) AS DOUBLE) / len(toks), 4) AS avg_token_len

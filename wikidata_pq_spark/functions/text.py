@@ -39,13 +39,13 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND on
-    letter/digit/punct boundaries (a cheap BPE proxy)."""
+    """Sub-word-ish token count (cheap BPE proxy): maximal runs of
+    letters, digits, or single punctuation marks. RE2-compatible
+    alternation (no lookarounds) so SQL oracles can replicate it."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(
-        F.trim(F.lower(c)), r"(\s+|(?<=[a-z])(?=\d)|(?<=\d)(?=[a-z])|(?=[^\w\s]))"
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
     )
-    return F.size(F.filter(pieces, lambda x: x != ""))
 
 
 def shingles(tok_col: Column, n: int = 3) -> Column:

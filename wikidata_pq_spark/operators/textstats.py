@@ -23,6 +23,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        TX.bpe_ish_token_count(F.col(text_col)).alias("n_subtokens"),
         F.round(
             F.aggregate(
                 toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
