@@ -71,3 +71,8 @@ def test_state_store_incomplete_ordering(tmp_path):
     st.set("a", Step.LINKED)
     st.set("c", Step.INIT)
     assert st.incomplete(["a", "b", "c"]) == ["a", "c"]
+
+
+def test_iceberg_seam_detection(spark):
+    """No Iceberg catalog configured in this sandbox -> parquet path."""
+    assert tableio.iceberg_available(spark) is False

@@ -303,6 +303,23 @@ def q_region_revenue(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_sql_api_revenue(spark, sf):
+    """The SQL entry surface: same Catalyst plans as the DataFrame API
+    (SURVEY §3 lifecycle note); monthly revenue by priority via
+    spark.sql over temp views."""
+    load(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               o_orderpriority AS priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n
+        FROM v_orders
+        GROUP BY 1, 2
+        """
+    )
+
+
 def q_rollup_revenue(spark, sf):
     """Rollup subtotals (absent in the reference, Spark-native --
     SURVEY §2.4 'built-in if needed' row exercised)."""
@@ -551,6 +568,7 @@ QUERIES = {
     "o3_sort_slice": q_slice,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
+    "sql_api_revenue": q_sql_api_revenue,
     "rollup_revenue": q_rollup_revenue,
     "asof_last_click": q_asof_last_click,
     "range_join_within": q_range_join_pairs,
@@ -739,6 +757,13 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "sql_api_revenue": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderpriority AS priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
     """,
     "rollup_revenue": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
