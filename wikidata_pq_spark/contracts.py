@@ -484,9 +484,11 @@ def _kg_inputs(spark, sf):
 
 
 def q_kg_mentions(spark, sf):
-    """applyInPandas extraction (D4 analogue) -- rows-only check."""
+    """Arrow-batched mapInPandas extraction (D4 analogue): kept on the
+    pandas path explicitly so the Arrow plumbing stays contract-covered
+    (the default extraction path is the pure-Catalyst extractor)."""
     tdf, _, _ = _kg_inputs(spark, sf)
-    return extract.extract_mentions(tdf)
+    return extract.extract_mentions(tdf, method="partitions")
 
 
 def q_kg_triples(spark, sf):
@@ -800,10 +802,10 @@ ORACLE_SQL = {
                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           FROM events)
         SELECT user_id, event_id,
-               sum(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
+               CAST(sum(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_idx
+                 AS BIGINT) AS session_idx
         FROM g
     """,
     "p7_list_len_predicate": f"""

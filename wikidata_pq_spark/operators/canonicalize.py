@@ -126,14 +126,26 @@ def connected_components(
 
 
 def apply_canonical(
-    triples: DataFrame, components: DataFrame
+    triples: DataFrame,
+    components: DataFrame,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Rewrite subj (and entity-valued obj) to canonical component ids.
 
-    Left joins + coalesce-to-identity, broadcast when the component map
-    is dictionary-sized; at 100 TB the component table shuffles on its
-    key and AQE picks the strategy.
+    Left joins + coalesce-to-identity. The broadcast hint is
+    size-gated (one bounded ``limit(k+1).count()`` probe, the same auto
+    strategy as ``linking.link_mentions``): a dictionary-sized map gets
+    the hard ``F.broadcast`` hint (map-side join, zero shuffle of the
+    triple stream); a larger map is left unhinted so it shuffles on its
+    key and AQE picks the strategy -- an unconditional hint would OOM
+    executors on a 100 TB same-as graph (AQE never demotes a hard
+    broadcast hint). Pass ``broadcast_threshold=0`` to force the
+    shuffle-join plan.
     """
+    small = bool(broadcast_threshold) and (
+        components.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    )
+    hint = F.broadcast if small else (lambda df: df)
     comp_s = components.select(
         F.col("entity_id").alias("subj"), F.col("canonical_id").alias("_subj_canon")
     )
@@ -141,8 +153,8 @@ def apply_canonical(
         F.col("entity_id").alias("obj"), F.col("canonical_id").alias("_obj_canon")
     )
     out = (
-        triples.join(F.broadcast(comp_s), "subj", "left")
-        .join(F.broadcast(comp_o), "obj", "left")
+        triples.join(hint(comp_s), "subj", "left")
+        .join(hint(comp_o), "obj", "left")
         .withColumn("subj", F.coalesce("_subj_canon", "subj"))
         .withColumn(
             "obj",

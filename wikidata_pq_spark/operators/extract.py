@@ -160,18 +160,27 @@ def extract_mentions_sql(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions(transcripts: DataFrame, method: str = "partitions") -> DataFrame:
+def extract_mentions(transcripts: DataFrame, method: str = "sql") -> DataFrame:
     """transcripts -> mention-level triples (pre-linking).
 
-    ``method="partitions"`` (default, the scale path): hash-partition by
-    conv_id, sort within partitions, then ONE vectorized pandas pass per
-    Arrow batch covering many conversations -- per-group Python overhead
-    is amortized ~batch_size/avg_conv_len times (measured ~20x faster
-    than per-group calls on 2k conversations).
+    ``method="sql"`` (default, the scale path): the pure-Catalyst
+    extractor -- zero Python in the hot path, whole-stage codegen,
+    measured 8->32-core scaling 0.765 raw (1.06x this host's ceiling)
+    vs 0.43 for the Arrow path, whose JVM<->Python serde is a flat
+    per-row cost that does not parallelize past the Python workers.
+
+    ``method="partitions"``: hash-partition by conv_id, sort within
+    partitions, then ONE vectorized pandas pass per Arrow batch covering
+    many conversations -- the path for rule logic inexpressible in
+    Catalyst (per-group Python overhead amortized ~batch_size/avg_conv_len
+    times vs per-group calls).
 
     ``method="grouped"``: groupBy(conv_id).applyInPandas -- one call per
     conversation. Same results; kept as the semantic reference and for
     pathological conversations larger than an executor's Arrow budget.
+
+    All three paths are result-identical (tested in
+    tests/test_extract_spark.py).
     """
     if method == "sql":
         return extract_mentions_sql(transcripts)

@@ -109,22 +109,28 @@ def flatten_links(df: DataFrame) -> DataFrame:
 def _claims_base(df: DataFrame) -> DataFrame:
     """Shared base: explode claims map -> claim array -> unnest mainsnak
     (reference: claims.py:37-45); synthetic row id for the lookup joins
-    (reference: claims.py:54-56 with_row_index)."""
+    (reference: claims.py:54-56 with_row_index).
+
+    The row id is a DETERMINISTIC composite (id, map key, position in
+    the claim list) rather than monotonically_increasing_id(): the
+    branches derive two independently re-evaluated subtrees from this
+    base and join them on _row_id, and a nondeterministic id could
+    mis-pair them under speculative re-execution or an upstream shuffle
+    recompute."""
     m = F.from_json(F.col("claims"), CLAIMS_SCHEMA)
     base = (
         df.na.drop(subset=["claims"])
         .select("id", F.explode(m).alias("key", "claim_list"))
-        .drop("key")
-        .select("id", F.explode("claim_list").alias("claim"))
+        .select("id", "key", F.posexplode("claim_list").alias("pos", "claim"))
         .select(
             "id",
+            F.concat_ws("\x00", "id", "key", F.col("pos").cast("string")).alias("_row_id"),
             F.col("claim.rank").alias("rank"),
             F.col("claim.mainsnak.property").alias("property"),
             F.col("claim.mainsnak.datatype").alias("datatype"),
             F.col("claim.mainsnak.datavalue").alias("datavalue"),
             F.col("claim.mainsnak.property_labels").alias("property_labels"),
         )
-        .withColumn("_row_id", F.monotonically_increasing_id())
     )
     return base
 

@@ -89,10 +89,13 @@ def range_join_pairs(
     (a_id < b_id) -- the bucketized range join.
 
     Each row lands in its time bucket; the probe side additionally
-    checks the NEXT bucket, so every qualifying pair meets in exactly
-    one equi-join bucket: |ts_a - ts_b| <= w and bucket width w imply
-    bucket_b - bucket_a in {0, 1} when ts_a <= ts_b. Equi-join on
-    (key, bucket) + exact filter -- never an inequality join.
+    checks BOTH adjacent buckets: |ts_a - ts_b| <= w and bucket width w
+    imply |bucket_b - bucket_a| <= 1, and the pair filter is on id
+    order (a_id < b_id), not time order, so the lower-id event may sit
+    in either neighbor bucket. Probing {b-1, b, b+1} guarantees every
+    qualifying pair meets at least once; the trailing distinct dedups
+    double meetings. Fan-out is a bounded 3x on the probe side only --
+    still an equi-join on (key, bucket), never an inequality join.
     """
     base = events.select(
         F.col(key).alias("k"),
@@ -102,7 +105,7 @@ def range_join_pairs(
     )
     probe = base.select(
         "k", F.col("id").alias("a_id"), F.col("t").alias("a_t"),
-        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("b"),
+        F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)).alias("b"),
     )
     build = base.select(
         "k", F.col("id").alias("b_id"), F.col("t").alias("b_t"), "b"

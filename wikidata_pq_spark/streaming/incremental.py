@@ -55,9 +55,22 @@ def incremental_extract(
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash after a partial append
+        # re-runs the epoch on restart. Writing each epoch into its own
+        # epoch=N partition with DYNAMIC partition-overwrite makes the
+        # re-run idempotent -- the retry replaces exactly its own
+        # partition, never touching committed epochs (the Spark-native
+        # form of the reference's skip-if-done step gates, reference:
+        # process.py:279-282).
         mentions = extract.extract_mentions(batch_df)
         linked = linking.link_mentions(mentions, alias_dict, strategy="broadcast")
-        linked.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+        (
+            linked.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)
