@@ -50,8 +50,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; KG/LSH/
-    SimHash/media entries are intentionally omitted (rows-only check:
-    pandas-UDF extraction, probabilistic LSH banding, and binary decode
-    are not ANSI-SQL-expressible)."""
+    """DuckDB-equivalent SQL for every query except the four genuinely
+    non-SQL-expressible ones (probabilistic LSH banding x2, SimHash,
+    stubbed media decode -- rows-only checks). The KG pipeline and
+    flatten queries check against golden parquets computed by
+    INDEPENDENT driver-side implementations (pandas oracle pipeline /
+    python golden flattener); the composed LSH->verify near-dup ops
+    export their candidate set and the SQL re-verifies it exactly."""
     return dict(contracts.ORACLE_SQL)

@@ -5,9 +5,10 @@ Prints ONE JSON line:
 
 Query set covers the operator families the engine claims: scan+agg,
 star joins, windows, the exploded-lookup join rewrite, dedup (exact /
-Jaccard / MinHash-LSH), ANN, text stats, and the full KG pipeline
-(whose throughput is also reported as kg_triples_per_sec -- the
-BASELINE.json headline metric).
+MinHash-LSH candidates / the composed LSH->exact-Jaccard-verify
+headline near-dup), ANN, text stats, and the full KG pipeline on the
+default Catalyst extractor (whose throughput is also reported as
+kg_triples_per_sec -- the BASELINE.json headline metric).
 
 Run at two parallelism levels for the scaling-efficiency evidence:
   SPARK_GRAFT_CPUS=8 python bench.py
@@ -35,7 +36,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "dedup_exact",
-    "dedup_token_jaccard",
+    "dedup_near_dup",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "text_quality_score",

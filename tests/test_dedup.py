@@ -70,6 +70,35 @@ def test_simhash_identical_and_near(docs):
     assert z["hamming"].iloc[0] == 0
 
 
+def test_near_dup_pairs_composition(docs):
+    """LSH candidates -> exact-Jaccard verify: result is exactly the
+    LSH-recalled subset of the unblocked exact operator, with identical
+    jaccard values -- the verify stage adds no false positives."""
+    out = dedup.near_dup_pairs(docs, threshold=0.7).toPandas()
+    pairs = {(a, b): j for a, b, j in zip(out["a_id"], out["b_id"], out["jaccard"])}
+    assert pairs[(0, 1)] == 1.0  # identical pair survives with exact score
+    assert pairs[(0, 5)] == 1.0  # NOT blocked by lang (unlike the blocked helper)
+    exact = dedup.token_jaccard_pairs(docs, threshold=0.7, block_col=None).toPandas()
+    exact_pairs = {
+        (a, b): j for a, b, j in zip(exact["a_id"], exact["b_id"], exact["jaccard"])
+    }
+    # soundness: every verified pair is a true exact-threshold pair
+    for k, j in pairs.items():
+        assert exact_pairs[k] == j
+    # recall on this corpus: identical docs always collide in every band
+    assert {(0, 1), (0, 5), (1, 5)} <= set(pairs)
+
+
+def test_verify_jaccard_on_given_candidates(docs, spark):
+    """The verify stage is deterministic given candidates: feeding it a
+    hand-built candidate set returns exactly the qualifying subset."""
+    cands = spark.createDataFrame(
+        pd.DataFrame({"a_id": [0, 0, 3], "b_id": [1, 3, 4]})
+    )
+    out = dedup.verify_jaccard_pairs(docs, cands, threshold=0.7).toPandas()
+    assert set(zip(out["a_id"], out["b_id"])) == {(0, 1)}
+
+
 def test_simhash_deterministic(docs):
     a = dedup.simhash64(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
     b = dedup.simhash64(docs).toPandas().sort_values("doc_id")["simhash"].tolist()

@@ -54,49 +54,14 @@ def golden_links(pdf):
     return sorted(out)
 
 
-def golden_claims(pdf):
-    out = []
-    for _, r in pdf.iterrows():
-        for claim_list in json.loads(r["claims"]).values():
-            for cl in claim_list:
-                ms = cl["mainsnak"]
-                dv, pl = ms["datavalue"], ms["property_labels"]
-                common = (r["id"], ms["property"], ms["datatype"], cl["rank"])
-                if ms["datatype"] == "wikibase-item":
-                    for lang, plabel in pl.items():
-                        if lang in dv["labels"]:
-                            out.append(
-                                common
-                                + (lang, plabel, dv["value_id"], None, None, None,
-                                   dv["labels"][lang])
-                            )
-                elif ms["datatype"] == "quantity":
-                    ul = dv.get("unit_labels") or {}
-                    if ul:
-                        for lang, plabel in pl.items():
-                            if lang in ul:
-                                out.append(
-                                    common
-                                    + (lang, plabel, None, None, dv["amount"],
-                                       dv["unit"], ul[lang])
-                                )
-                    else:
-                        for lang, plabel in pl.items():
-                            out.append(
-                                common + (lang, plabel, None, None, dv["amount"], None, None)
-                            )
-                elif ms["datatype"] == "string":
-                    for lang, plabel in pl.items():
-                        out.append(
-                            common + (lang, plabel, None, dv["value_str"], None, None, None)
-                        )
-                else:  # monolingualtext
-                    lang = dv["language"]
-                    if lang in pl:
-                        out.append(
-                            common + (lang, pl[lang], None, dv["text"], None, None, None)
-                        )
-    return sorted(map(str, out))
+def _norm(v):
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
 
 
 def test_labels_descriptions(sdf, entity_rows):
@@ -120,27 +85,95 @@ def test_links(sdf, entity_rows):
     assert got == golden_links(entity_rows)
 
 
+def _scalar_projection(df):
+    """Spark flatten output -> the golden's scalar columns + snak counts."""
+    from pyspark.sql import functions as F
+
+    n_qual = F.coalesce(
+        F.aggregate(F.map_values("qualifiers"), F.lit(0), lambda acc, v: acc + F.size(v)),
+        F.lit(0),
+    ).alias("n_qual_snaks")
+    n_ref = F.coalesce(
+        F.aggregate(
+            "references",
+            F.lit(0),
+            lambda acc, m: acc
+            + F.aggregate(F.map_values(m), F.lit(0), lambda a, v: a + F.size(v)),
+        ),
+        F.lit(0),
+    ).alias("n_ref_snaks")
+    return df.select(*[c for c, _ in flatten._OUT_COLS], n_qual, n_ref)
+
+
 def test_claims_four_branches(sdf, entity_rows):
-    pdf = flatten.flatten_claims(sdf).toPandas()
-    assert set(pdf["datatype"]) == {
-        "wikibase-item", "quantity", "string", "monolingualtext"
-    }
-    import pandas as pd
+    """Full-row equality (incl. globe-coordinate widening and qualifier/
+    reference snak counts) against the independent python golden
+    flattener (oracle.golden_flatten_claims)."""
+    from wikidata_pq_spark import oracle
 
-    def _n(v):
-        return None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+    fl = flatten.flatten_claims(sdf)
+    pdf = _scalar_projection(fl).toPandas()
+    # all four branch families present (plus >= 2 plain scalar types)
+    seen = set(pdf["datatype"])
+    assert {"wikibase-item", "quantity", "monolingualtext", "globe-coordinate"} <= seen
+    assert len(seen - {"wikibase-item", "quantity", "monolingualtext", "globe-coordinate"}) >= 2
+    golden = oracle.golden_flatten_claims(entity_rows)
+    cols = oracle.FLAT_CLAIM_COLUMNS
+    got = sorted("\x01".join(_norm(v) for v in row) for row in pdf[cols].itertuples(index=False))
+    exp = sorted("\x01".join(_norm(v) for v in row) for row in golden[cols].itertuples(index=False))
+    assert got == exp
+    # the fixture exercises both legs of the int/float widening
+    lat = golden[golden["datatype"] == "globe-coordinate"]["latitude"]
+    assert (lat == lat.round(0)).any() and (lat != lat.round(0)).any()
+    # and the qualifier/reference columns carry real payload
+    assert (golden["n_qual_snaks"] > 0).any() and (golden["n_ref_snaks"] > 0).any()
 
-    got = sorted(
-        str(
-            (
-                r["id"], r["property"], r["datatype"], r["rank"], r["language"],
-                _n(r["property_label"]), _n(r["value_id"]), _n(r["value_str"]),
-                _n(r["amount"]), _n(r["unit"]), _n(r["datavalue_label"]),
-            )
-        )
-        for _, r in pdf.iterrows()
+
+def test_qualifiers_references_structure(sdf, entity_rows):
+    """The qualifiers/references columns survive every branch with their
+    full structure: per flattened row, the qualifier snak payloads match
+    the source JSON claim's qualifiers exactly."""
+    rows = (
+        flatten.flatten_claims(sdf)
+        .select("id", "property", "datatype", "qualifiers", "references")
+        .toPandas()
     )
-    assert got == golden_claims(entity_rows)
+    # source lookup: (id, property, datatype) -> list of qualifier dicts
+    src: dict = {}
+    for _, r in entity_rows.iterrows():
+        for cl_list in json.loads(r["claims"]).values():
+            for cl in cl_list:
+                k = (r["id"], cl["mainsnak"]["property"], cl["mainsnak"]["datatype"])
+                src.setdefault(k, []).append(
+                    (cl.get("qualifiers") or {}, cl.get("references") or [])
+                )
+
+    def qual_sig(qmap):
+        # {prop: [snak...]} -> sorted (prop, datatype, value_str/amount)
+        out = []
+        for p, snaks in (qmap or {}).items():
+            for s in snaks:
+                dv = s["datavalue"] if isinstance(s, dict) else s.datavalue
+                vs = dv.get("value_str") if isinstance(dv, dict) else dv.value_str
+                am = dv.get("amount") if isinstance(dv, dict) else dv.amount
+                dt = s.get("datatype") if isinstance(s, dict) else s.datatype
+                out.append((p, dt, vs, am))
+        return sorted(map(str, out))
+
+    seen_branches = set()
+    checked = 0
+    for _, r in rows.iterrows():
+        candidates = src[(r["id"], r["property"], r["datatype"])]
+        got_sig = qual_sig(
+            {k: list(v) for k, v in r["qualifiers"].items()} if r["qualifiers"] else {}
+        )
+        assert got_sig in [qual_sig(q) for q, _ in candidates]
+        if got_sig:
+            seen_branches.add(r["datatype"])
+            checked += 1
+    assert checked > 0
+    # qualifiers observed surviving through multiple datatype branches
+    assert len(seen_branches) >= 3
 
 
 def test_id_preservation_audit(sdf, entity_rows):

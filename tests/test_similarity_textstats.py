@@ -61,6 +61,29 @@ def test_embedding_dup_pairs(emb):
     assert (0, 1) in set(zip(out["a_id"], out["b_id"]))
 
 
+def test_embedding_near_pairs_composition(emb):
+    """LSH bucket candidates -> exact cosine verify: sound (subset of
+    the exact unblocked operator, same scores) and recalls colinear
+    pairs (which share every hyperplane bucket by construction)."""
+    df, _ = emb
+    out = similarity.embedding_near_pairs(df, threshold=0.999, n_planes=3, dim=8).toPandas()
+    got = {(a, b): c for a, b, c in zip(out["a_id"], out["b_id"], out["cos_sim"])}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    exact = similarity.embedding_dup_pairs(df, threshold=0.999, block_col=None).toPandas()
+    exact_pairs = {
+        (a, b): c for a, b, c in zip(exact["a_id"], exact["b_id"], exact["cos_sim"])
+    }
+    for k, c in got.items():
+        assert exact_pairs[k] == c
+
+
+def test_verify_cosine_on_given_candidates(emb, spark):
+    df, vecs = emb
+    cands = spark.createDataFrame(pd.DataFrame({"a_id": [0, 2], "b_id": [1, 3]}))
+    out = similarity.verify_cosine_pairs(df, cands, threshold=0.999).toPandas()
+    assert set(zip(out["a_id"], out["b_id"])) == {(0, 1)}
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [

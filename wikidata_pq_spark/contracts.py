@@ -15,11 +15,13 @@ functions.vectors / the list_reduce oracles), so values hash-equal.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import datagen
+from . import oracle as kg_oracle
 from .functions import text as TX
 from .operators import canonicalize, dedup, extract, linking, multimodal, similarity, textstats
 
@@ -31,6 +33,47 @@ TABLES = [
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Golden-parquet oracle exports. The driver's value-hash gate runs at
+# sf0.01; queries whose golden is computed by an independent driver-side
+# implementation (the pandas oracle / golden flattener) or whose verify
+# stage consumes a probabilistic candidate set export a parquet here,
+# and the matching ORACLE_SQL just re-reads it (the VERDICT-sanctioned
+# pattern for non-ANSI-expressible pipelines). Exports happen only at
+# the gate sf so bench runs at other sfs never pay or clobber them.
+# --------------------------------------------------------------------------
+
+ORACLE_EXPORT_DIR = "/tmp/spark_graft_oracle"
+_GATE_SF = "sf0.01"
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _is_gate_sf(sf_dir: str) -> bool:
+    return _sf_name(sf_dir) == _GATE_SF
+
+
+def _export_path(name: str) -> str:
+    return os.path.join(ORACLE_EXPORT_DIR, f"{name}.parquet")
+
+
+def _export_golden(pdf, name: str) -> None:
+    os.makedirs(ORACLE_EXPORT_DIR, exist_ok=True)
+    pdf.to_parquet(_export_path(name), index=False)
+
+
+def _export_candidates(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """At the gate sf: persist the candidate pairs and read them back,
+    so the Spark verify stage and the DuckDB oracle consume the exact
+    same candidate set. Elsewhere: pass through untouched."""
+    if not _is_gate_sf(sf_dir):
+        return df
+    _export_golden(df.toPandas(), name)
+    return df.sparkSession.read.parquet(_export_path(name))
 
 
 # --------------------------------------------------------------------------
@@ -426,6 +469,30 @@ def q_dedup_simhash(spark, sf):
     return dedup.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=3)
 
 
+def q_dedup_near_dup(spark, sf):
+    """THE headline near-dup composition: MinHash-LSH candidates ->
+    exact-Jaccard verify. The candidate set is exported at the gate sf
+    so the DuckDB oracle verifies the identical pairs with its own
+    tokenizer/intersection math -- the verify stage is deterministic
+    given candidates, so this value-hash-checks even though LSH banding
+    itself is probabilistic."""
+    d = load(spark, sf, "documents")
+    cands = dedup.minhash_lsh_candidates(d)
+    cands = _export_candidates(cands, "dedup_near_dup_cands", sf)
+    return dedup.verify_jaccard_pairs(d, cands, threshold=0.8)
+
+
+def q_embedding_near_pairs(spark, sf):
+    """Embedding near-dup composition: hyperplane-LSH bucket candidates
+    -> exact-cosine verify, same export pattern as dedup_near_dup.
+    (Synthetic embeddings top out near cosine 0.47; 0.35 marks the
+    high-similarity tail.)"""
+    e = load(spark, sf, "embeddings")
+    cands = similarity.lsh_candidate_pairs(e, n_planes=4)
+    cands = _export_candidates(cands, "embedding_near_cands", sf)
+    return similarity.verify_cosine_pairs(e, cands, threshold=0.35)
+
+
 def q_dedup_embedding(spark, sf):
     # synthetic embeddings top out at cosine ~0.47; 0.35 marks the
     # high-similarity tail (real corpora would use ~0.95)
@@ -470,12 +537,17 @@ def q_media_features(spark, sf):
 _SF_SCALE = {"sf0.001": (100, 8), "sf0.01": (400, 12), "sf0.1": (2000, 20)}
 
 
-def _kg_inputs(spark, sf):
-    name = os.path.basename(os.path.normpath(sf))
+@lru_cache(maxsize=4)
+def _kg_frames(name: str):
     n_convs, mean_turns = _SF_SCALE.get(name, (200, 10))
     tr = datagen.gen_transcripts(n_convs=n_convs, mean_turns=mean_turns, n_entities=500)
     ents = datagen.gen_entities(500)
     sa = datagen.gen_same_as(500)
+    return tr, ents, sa
+
+
+def _kg_inputs(spark, sf):
+    tr, ents, sa = _kg_frames(_sf_name(sf))
     return (
         spark.createDataFrame(tr),
         spark.createDataFrame(ents),
@@ -486,54 +558,89 @@ def _kg_inputs(spark, sf):
 def q_kg_mentions(spark, sf):
     """Arrow-batched mapInPandas extraction (D4 analogue): kept on the
     pandas path explicitly so the Arrow plumbing stays contract-covered
-    (the default extraction path is the pure-Catalyst extractor)."""
-    tdf, _, _ = _kg_inputs(spark, sf)
-    return extract.extract_mentions(tdf, method="partitions")
+    (the default extraction path is the pure-Catalyst extractor).
+    Oracle: the single-process pandas oracle's mention set, exported as
+    a golden parquet the SQL just re-reads."""
+    tr, _, _ = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_extract(tr), "kg_extract_mentions_golden")
+    return extract.extract_mentions(spark.createDataFrame(tr), method="partitions")
+
+
+def _kg_triples_query(spark, sf, method: str):
+    tr, ents, sa = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "kg_triples_golden")
+    mentions = extract.extract_mentions(spark.createDataFrame(tr), method=method)
+    linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
+    comps = canonicalize.connected_components(spark.createDataFrame(sa))
+    return canonicalize.apply_canonical(linked, comps).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    ).distinct()
 
 
 def q_kg_triples(spark, sf):
-    """Full extract->link->canonicalize chain -- rows-only check."""
-    tdf, adf, sdf = _kg_inputs(spark, sf)
-    mentions = extract.extract_mentions(tdf)
-    linked = linking.link_mentions(mentions, adf, strategy="broadcast")
-    comps = canonicalize.connected_components(sdf)
-    return canonicalize.apply_canonical(linked, comps).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx"
-    ).distinct()
+    """Full extract->link->canonicalize chain on the default (Catalyst)
+    extractor. Oracle: the independent pandas pipeline's triples
+    (union-find canonicalization), exported as a golden parquet."""
+    return _kg_triples_query(spark, sf, method="sql")
 
 
-def q_kg_triples_sql(spark, sf):
-    """Same pipeline with the pure-Catalyst extractor -- rows-only."""
-    tdf, adf, sdf = _kg_inputs(spark, sf)
-    mentions = extract.extract_mentions(tdf, method="sql")
-    linked = linking.link_mentions(mentions, adf, strategy="broadcast")
-    comps = canonicalize.connected_components(sdf)
-    return canonicalize.apply_canonical(linked, comps).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx"
-    ).distinct()
+def q_kg_triples_arrow(spark, sf):
+    """Same chain on the Arrow mapInPandas extractor -- proves the two
+    extraction paths are result-identical end-to-end against the same
+    golden-parquet oracle."""
+    return _kg_triples_query(spark, sf, method="partitions")
 
 
 _SF_ENTITY_ROWS = {"sf0.001": 50, "sf0.01": 200, "sf0.1": 1000}
 
 
+def _entity_rows(sf) -> "object":
+    return datagen.gen_entity_rows(_SF_ENTITY_ROWS.get(_sf_name(sf), 50))
+
+
 def q_flatten_claims(spark, sf):
     """N1-N8 nested ops: four-branch claims flattening over reference-
-    shaped nested-JSON entity rows (rows-only; golden-tested in
-    tests/test_flatten.py against an independent python flattener)."""
+    shaped nested-JSON entity rows; scalar projection + qualifier/
+    reference snak counts. Oracle: the independent python golden
+    flattener (oracle.golden_flatten_claims), exported as parquet.
+    Structural qualifier/reference fidelity is golden-tested in
+    tests/test_flatten.py."""
     from .operators import flatten
 
-    n = _SF_ENTITY_ROWS.get(os.path.basename(os.path.normpath(sf)), 50)
-    er = spark.createDataFrame(datagen.gen_entity_rows(n))
-    return flatten.flatten_claims(er)
+    er = _entity_rows(sf)
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.golden_flatten_claims(er), "flatten_claims_golden")
+    fl = flatten.flatten_claims(spark.createDataFrame(er))
+    n_qual = F.coalesce(
+        F.aggregate(
+            F.map_values("qualifiers"), F.lit(0), lambda acc, v: acc + F.size(v)
+        ),
+        F.lit(0),
+    ).alias("n_qual_snaks")
+    n_ref = F.coalesce(
+        F.aggregate(
+            "references",
+            F.lit(0),
+            lambda acc, m: acc
+            + F.aggregate(F.map_values(m), F.lit(0), lambda a, v: a + F.size(v)),
+        ),
+        F.lit(0),
+    ).alias("n_ref_snaks")
+    return fl.select(*[c for c, _ in flatten._OUT_COLS], n_qual, n_ref)
 
 
 def q_flatten_labels(spark, sf):
-    """N6+N8: map->rows normalisation (labels table) -- rows-only."""
+    """N6+N8: map->rows normalisation (labels table). Oracle: a genuine
+    SQL recomputation -- DuckDB json_keys/json_extract over the exported
+    input rows (same shape as the green n8_json_map_explode)."""
     from .operators import flatten
 
-    n = _SF_ENTITY_ROWS.get(os.path.basename(os.path.normpath(sf)), 50)
-    er = spark.createDataFrame(datagen.gen_entity_rows(n))
-    return flatten.flatten_labels(er, "labels")
+    er = _entity_rows(sf)
+    if _is_gate_sf(sf):
+        _export_golden(er[["id", "labels"]], "entity_rows_labels")
+    return flatten.flatten_labels(spark.createDataFrame(er), "labels")
 
 
 def q_connected_components(spark, sf):
@@ -584,7 +691,9 @@ QUERIES = {
     "dedup_token_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_near_dup": q_dedup_near_dup,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh,
     "text_token_stats": q_text_stats,
@@ -594,7 +703,7 @@ QUERIES = {
     "mm_decode_features": q_media_features,
     "kg_extract_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
-    "kg_triples_sql": q_kg_triples_sql,
+    "kg_triples_arrow": q_kg_triples_arrow,
     "flatten_claims_fourbranch": q_flatten_claims,
     "flatten_labels_map": q_flatten_labels,
     "cc_components": q_connected_components,
@@ -932,5 +1041,58 @@ ORACLE_SQL = {
         SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS entity_id,
                'Q' || CAST((c_custkey // 10) * 10 AS VARCHAR) AS canonical_id
         FROM customer
+    """,
+    # -- LSH -> exact-verify compositions: the oracle re-verifies the
+    # exported candidate set with DuckDB's own tokenizer / vector math
+    "dedup_near_dup": f"""
+        WITH c AS (SELECT a_id, b_id
+                   FROM read_parquet('{_export_path("dedup_near_dup_cands")}')),
+        t AS (SELECT doc_id, list_sort(list_distinct({_TOKS})) AS toks
+              FROM documents),
+        j AS (
+          SELECT c.a_id AS a_id, c.b_id AS b_id,
+                 round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+          FROM c JOIN t a ON a.doc_id = c.a_id JOIN t b ON b.doc_id = c.b_id)
+        SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+    "embedding_near_pairs": f"""
+        WITH c AS (SELECT a_id, b_id
+                   FROM read_parquet('{_export_path("embedding_near_cands")}')),
+        j AS (
+          SELECT c.a_id AS a_id, c.b_id AS b_id,
+                 round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+          FROM c JOIN embeddings a ON a.vec_id = c.a_id
+                 JOIN embeddings b ON b.vec_id = c.b_id)
+        SELECT a_id, b_id, cos_sim FROM j WHERE cos_sim >= 0.35
+    """,
+    # -- golden-parquet oracles: goldens computed by INDEPENDENT
+    # driver-side implementations (pandas oracle pipeline / python
+    # golden flattener), exported at the gate sf; the SQL re-reads them
+    "kg_extract_mentions": f"""
+        SELECT conv_id, turn_idx, pred, subj_mention, obj_mention,
+               obj_kind, rule_idx, match_idx
+        FROM read_parquet('{_export_path("kg_extract_mentions_golden")}')
+    """,
+    "kg_triples": f"""
+        SELECT subj, pred, obj, conv_id, turn_idx
+        FROM read_parquet('{_export_path("kg_triples_golden")}')
+    """,
+    "kg_triples_arrow": f"""
+        SELECT subj, pred, obj, conv_id, turn_idx
+        FROM read_parquet('{_export_path("kg_triples_golden")}')
+    """,
+    "flatten_claims_fourbranch": f"""
+        SELECT * FROM read_parquet('{_export_path("flatten_claims_golden")}')
+    """,
+    # -- a genuine SQL recomputation of the labels map normalisation
+    "flatten_labels_map": f"""
+        WITH kx AS (
+          SELECT id, labels, unnest(json_keys(labels)) AS key
+          FROM read_parquet('{_export_path("entity_rows_labels")}'))
+        SELECT id,
+               json_extract_string(labels, '$.' || key || '.language') AS language,
+               json_extract_string(labels, '$.' || key || '.value') AS value
+        FROM kx
     """,
 }

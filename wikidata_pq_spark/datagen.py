@@ -129,14 +129,38 @@ def golden_components(n_entities: int = 500) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["entity_id", "canonical_id"])
 
 
+# the reference's full scalar dispatch list minus globe-coordinate,
+# which gets its own generation branch (reference:
+# partitioning/claims.py:19-34)
+_PLAIN_SCALARS = [
+    "string", "time", "external-id", "url", "commonsMedia", "math",
+    "musical-notation", "geo-shape", "tabular-data", "wikibase-lexeme",
+    "wikibase-form", "wikibase-sense", "entity-schema",
+]
+
+
+def _gen_qual_snak(prop: str, rng: np.random.Generator, tag: str) -> dict:
+    """One qualifier/reference snak: property + datatype + datavalue
+    (the inner MAINSNAK shape reused by the reference's QUALS_SCHEMA,
+    reference: process.py:151-160)."""
+    if rng.random() < 0.5:
+        dv = {"type": "string", "value_str": f"{tag}_{prop}_{int(rng.integers(0, 100))}"}
+        return {"property": prop, "datatype": "string", "datavalue": dv}
+    dv = {"type": "quantity", "amount": float(rng.integers(1, 100))}
+    return {"property": prop, "datatype": "quantity", "datavalue": dv}
+
+
 def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
     """Reference-shaped nested-JSON entity rows (FIXTURES.md #5).
 
     Miniature of the wikidata-pq source schema: id + JSON-string columns
     labels/descriptions/aliases/sitelinks/claims, with claims spanning
-    all four datatype branches (wikibase-item, quantity unit-ful and
-    dimensionless, scalar, monolingualtext) and ~10% null alias rows
-    (reference: README.md:48-52, process.py:111-183).
+    all four datatype branches -- wikibase-item, quantity (unit-ful and
+    dimensionless), the full 14-type scalar family including
+    globe-coordinate with int/float widened lat/lon/precision
+    (reference: process.py:118-148), and monolingualtext -- plus
+    per-claim qualifiers and references (reference: process.py:160-183)
+    and ~10% null alias rows (reference: README.md:48-52).
     """
     import json
 
@@ -173,9 +197,17 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
         n_claims = int(rng.integers(1, 5))
         for c in range(n_claims):
             prop = f"P{int(rng.integers(1, 30))}"
-            kind = ["wikibase-item", "quantity", "string", "monolingualtext"][
-                int(rng.integers(0, 4))
-            ]
+            u_kind = rng.random()
+            if u_kind < 0.25:
+                kind = "wikibase-item"
+            elif u_kind < 0.45:
+                kind = "quantity"
+            elif u_kind < 0.60:
+                kind = "monolingualtext"
+            elif u_kind < 0.72:
+                kind = "globe-coordinate"
+            else:
+                kind = str(rng.choice(_PLAIN_SCALARS))
             pl_langs = sorted(
                 rng.choice(langs, size=int(rng.integers(1, len(langs) + 1)), replace=False)
             )
@@ -201,9 +233,7 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
                     dv["unit_labels"] = {lang: f"ulabel_{unit}_{lang}" for lang in ul_langs}
                 else:
                     dv["unit_labels"] = {}
-            elif kind == "string":
-                dv["value_str"] = f"str_{qid}_{c}"
-            else:
+            elif kind == "monolingualtext":
                 lang = str(rng.choice(langs))
                 dv["text"] = f"mono_{qid}_{c}"
                 dv["language"] = lang
@@ -211,6 +241,25 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
                 # label -> row dropped (inner-join-miss semantics)
                 if rng.random() < 0.8 and lang not in property_labels:
                     property_labels[lang] = f"plabel_{prop}_{lang}"
+            elif kind == "globe-coordinate":
+                # int-or-float union: the raw JSON mixes integer and
+                # float coordinates (reference: README.md:64-67), so
+                # each field independently lands in the __integer or
+                # __number leg of the widening struct
+                for field in ("latitude", "longitude"):
+                    if rng.random() < 0.5:
+                        dv[field] = {f"{field}__integer": int(rng.integers(-89, 90))}
+                    else:
+                        dv[field] = {
+                            f"{field}__number": round(float(rng.uniform(-89, 90)), 6)
+                        }
+                if rng.random() < 0.5:
+                    dv["precision"] = {"precision__integer": 1}
+                else:
+                    dv["precision"] = {"precision__number": 0.000278}
+                dv["globe"] = "Q2"
+            else:
+                dv["value_str"] = f"{kind}_{qid}_{c}"
             claim = {
                 "mainsnak": {
                     "property": prop,
@@ -220,6 +269,20 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
                 },
                 "rank": str(rng.choice(["normal", "preferred", "deprecated"])),
             }
+            # ~50% of claims carry qualifiers, ~30% references
+            # (reference: QUALS_SCHEMA/REFS_SCHEMA, process.py:160-183)
+            if rng.random() < 0.5:
+                quals: dict[str, list] = {}
+                for _ in range(int(rng.integers(1, 3))):
+                    qp = f"P{int(rng.integers(30, 40))}"
+                    quals.setdefault(qp, []).extend(
+                        _gen_qual_snak(qp, rng, "qual")
+                        for _ in range(int(rng.integers(1, 3)))
+                    )
+                claim["qualifiers"] = quals
+            if rng.random() < 0.3:
+                rp = f"P{int(rng.integers(40, 45))}"
+                claim["references"] = [{rp: [_gen_qual_snak(rp, rng, "ref")]}]
             claims.setdefault(prop, []).append(claim)
         rows.append(
             (

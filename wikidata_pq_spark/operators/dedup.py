@@ -49,9 +49,13 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs (a_id < b_id).
 
-    Blocked self-join: rows only compare within a block (language), the
-    standard guard that keeps the pair count tractable; at 100 TB you'd
-    LSH first (below) and use this as the verify stage on candidates.
+    HELPER / verify-stage shape, not the headline corpus operator: the
+    blocked self-join is quadratic WITHIN a block, and with a skewed
+    block key (language distributions put one language at 30%+) one
+    block is O(n^2) at corpus scale. The production near-dup operator
+    is :func:`near_dup_pairs` (LSH candidates -> this exact verify);
+    this standalone form remains for small/bounded blocks and as the
+    oracle-checkable exact baseline.
     """
     # token sets as xxhash64 ints: set sizes/intersections are identical
     # to the string form (64-bit collisions are negligible at any corpus
@@ -163,6 +167,75 @@ def minhash_lsh_candidates(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, toks sorted distinct-token array, n) -- shared by the exact
+    Jaccard computations. String tokens (not hashes) so the verify stage
+    is bit-exact against a SQL oracle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(TX.distinct_tokens(F.col(text_col))).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verify stage over candidate pairs (a_id, b_id).
+
+    Joins each side of the candidate pair back to its token set (two
+    equi-joins on the id -- linear in |candidates|, never quadratic in
+    the corpus) and keeps pairs with jaccard >= threshold. Deterministic
+    given the candidate set, so it oracle-checks exactly even when the
+    candidate generator is probabilistic.
+    """
+    base = _token_sets(df, text_col, id_col)
+    a = base.select(
+        F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("n").alias("a_n")
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("n").alias("b_n")
+    )
+    pairs = candidates.select("a_id", "b_id").distinct().join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.col("a_n") + F.col("b_n") - inter
+    jac = inter / union
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """THE headline near-dup operator: MinHash-LSH candidates -> exact
+    Jaccard verify (a_id < b_id, jaccard >= threshold).
+
+    The 100 TB shape: candidate generation is linear (banding -- only
+    rows sharing a band bucket ever meet), and the exact quadratic work
+    is confined to the candidate set, which LSH keeps proportional to
+    the true duplicate count. With 32 hashes / 8 bands the banding
+    S-curve puts >99% recall at jaccard 0.8. Never a corpus-quadratic
+    self-join.
+    """
+    cands = minhash_lsh_candidates(
+        df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col, id_col=id_col
+    )
+    return verify_jaccard_pairs(
+        df, cands, threshold=threshold, text_col=text_col, id_col=id_col
     )
 
 

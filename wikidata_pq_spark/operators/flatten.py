@@ -48,19 +48,51 @@ SITELINK = T.StructType(
 )
 SITELINKS_SCHEMA = T.MapType(T.StringType(), SITELINK)
 
+# int-or-float union fields (the raw JSON mixes them, reference:
+# README.md:64-67): declared as a two-field widening struct exactly like
+# the reference (latitude__number/latitude__integer, process.py:135-145);
+# branches coalesce to double.
+def _widened(prefix: str, int_first: bool = False) -> T.StructType:
+    num = T.StructField(f"{prefix}__number", T.DoubleType())
+    integer = T.StructField(f"{prefix}__integer", T.LongType())
+    return T.StructType([integer, num] if int_first else [num, integer])
+
+
 DATAVALUE = T.StructType(
     [
         T.StructField("type", T.StringType()),
         T.StructField("value_id", T.StringType()),      # wikibase-item target
-        T.StructField("value_str", T.StringType()),     # string/time/external-id
+        T.StructField("value_str", T.StringType()),     # string/time/external-id/...
         T.StructField("amount", T.DoubleType()),        # quantity
         T.StructField("unit", T.StringType()),          # quantity unit entity
         T.StructField("text", T.StringType()),          # monolingualtext
         T.StructField("language", T.StringType()),      # monolingualtext
         T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
         T.StructField("unit_labels", T.MapType(T.StringType(), T.StringType())),
+        # globe-coordinate (reference: process.py:118-148): int/float
+        # union widening structs + globe; altitude is always-null in the
+        # source (pl.Null, process.py:147) -- kept as an always-null string
+        T.StructField("latitude", _widened("latitude")),
+        T.StructField("longitude", _widened("longitude")),
+        T.StructField("precision", _widened("precision", int_first=True)),
+        T.StructField("globe", T.StringType()),
+        T.StructField("altitude", T.StringType()),
     ]
 )
+# Qualifier snak: property + datatype + datavalue (the inner shape of the
+# reference's MAINSNAK_SCHEMA reused by QUALS_SCHEMA, process.py:151-160).
+QUAL_SNAK = T.StructType(
+    [
+        T.StructField("property", T.StringType()),
+        T.StructField("datatype", T.StringType()),
+        T.StructField("datavalue", DATAVALUE),
+    ]
+)
+# reference QUALS_SCHEMA = Struct{key, value: List(MAINSNAK)} -- a map
+# entry; the Spark-native encoding is the map itself.
+QUALIFIERS_SCHEMA = T.MapType(T.StringType(), T.ArrayType(QUAL_SNAK))
+# reference REFS_SCHEMA = List(QUALS_SCHEMA); claim.references = List(REFS)
+REFERENCES_SCHEMA = T.ArrayType(QUALIFIERS_SCHEMA)
 MAINSNAK = T.StructType(
     [
         T.StructField("property", T.StringType()),
@@ -70,12 +102,34 @@ MAINSNAK = T.StructType(
     ]
 )
 CLAIM = T.StructType(
-    [T.StructField("mainsnak", MAINSNAK), T.StructField("rank", T.StringType())]
+    [
+        T.StructField("mainsnak", MAINSNAK),
+        T.StructField("rank", T.StringType()),
+        T.StructField("qualifiers", QUALIFIERS_SCHEMA),
+        T.StructField("references", REFERENCES_SCHEMA),
+    ]
 )
 CLAIMS_SCHEMA = T.MapType(T.StringType(), T.ArrayType(CLAIM))
 
 WIKIBASE_TYPES = ["wikibase-item", "wikibase-property"]
-SCALAR_TYPES = ["string", "time", "external-id", "url"]
+# the reference's full scalar-datatype dispatch list (reference:
+# partitioning/claims.py:19-34) -- language lives in property-labels only
+SCALAR_TYPES = [
+    "external-id",
+    "string",
+    "time",
+    "globe-coordinate",
+    "commonsMedia",
+    "math",
+    "musical-notation",
+    "geo-shape",
+    "tabular-data",
+    "url",
+    "wikibase-lexeme",
+    "wikibase-form",
+    "wikibase-sense",
+    "entity-schema",
+]
 
 
 def flatten_labels(df: DataFrame, column: str = "labels") -> DataFrame:
@@ -130,27 +184,40 @@ def _claims_base(df: DataFrame) -> DataFrame:
             F.col("claim.mainsnak.datatype").alias("datatype"),
             F.col("claim.mainsnak.datavalue").alias("datavalue"),
             F.col("claim.mainsnak.property_labels").alias("property_labels"),
+            # provenance/qualification travel with every flattened row
+            # (reference: claims_base unnests value{mainsnak, rank,
+            # references, qualifiers}, claims.py:37-45 + process.py:160-183)
+            F.col("claim.qualifiers").alias("qualifiers"),
+            F.col("claim.references").alias("references"),
         )
     )
     return base
 
 
+# output scalar columns with their dtypes (branches missing a column emit
+# a typed null so the diagonal concat never widens dtypes)
 _OUT_COLS = [
-    "id", "property", "datatype", "rank", "language",
-    "property_label", "value_id", "value_str", "amount", "unit",
-    "datavalue_label",
+    ("id", "string"), ("property", "string"), ("datatype", "string"),
+    ("rank", "string"), ("language", "string"), ("property_label", "string"),
+    ("value_id", "string"), ("value_str", "string"), ("amount", "double"),
+    ("unit", "string"), ("datavalue_label", "string"),
+    ("latitude", "double"), ("longitude", "double"), ("precision", "double"),
+    ("globe", "string"),
 ]
+# nested columns carried verbatim from the base through every branch
+_CARRY_COLS = ["qualifiers", "references"]
 
 
 def _select_out(df: DataFrame, **overrides) -> DataFrame:
     cols = []
-    for c in _OUT_COLS:
+    for c, dtype in _OUT_COLS:
         if c in overrides:
             cols.append(overrides[c].alias(c))
         elif c in df.columns:
             cols.append(F.col(c))
         else:
-            cols.append(F.lit(None).cast("string").alias(c))
+            cols.append(F.lit(None).cast(dtype).alias(c))
+    cols += [F.col(c) for c in _CARRY_COLS]
     return df.select(*cols)
 
 
@@ -159,18 +226,20 @@ def _wikibase_branch(base: DataFrame) -> DataFrame:
     the language-match filter (reference: claims.py:48-89)."""
     wb = base.filter(F.col("datatype").isin(WIKIBASE_TYPES))
     lookup = wb.select(
-        "_row_id", F.explode(F.col("datavalue.labels")).alias("_lang", "datavalue_label")
+        F.col("_row_id").alias("_rid"),
+        F.explode(F.col("datavalue.labels")).alias("_lang", "datavalue_label"),
     )
     main = wb.select(
         "id", "property", "datatype", "rank", "_row_id",
         F.col("datavalue.value_id").alias("value_id"),
         F.explode("property_labels").alias("language", "property_label"),
+        *_CARRY_COLS,
     )
     joined = main.join(
         lookup,
-        (main["_row_id"] == lookup["_row_id"]) & (main["language"] == lookup["_lang"]),
+        (main["_row_id"] == lookup["_rid"]) & (main["language"] == lookup["_lang"]),
         "inner",
-    ).drop("_lang")
+    ).drop("_lang", "_rid")
     return _select_out(joined)
 
 
@@ -182,34 +251,51 @@ def _quantity_branch(base: DataFrame) -> DataFrame:
 
     unitful = q.filter(has_unit)
     lookup = unitful.select(
-        "_row_id", F.explode(F.col("datavalue.unit_labels")).alias("_lang", "datavalue_label")
+        F.col("_row_id").alias("_rid"),
+        F.explode(F.col("datavalue.unit_labels")).alias("_lang", "datavalue_label"),
     )
     main = unitful.select(
         "id", "property", "datatype", "rank", "_row_id",
         F.col("datavalue.amount").alias("amount"),
         F.col("datavalue.unit").alias("unit"),
         F.explode("property_labels").alias("language", "property_label"),
+        *_CARRY_COLS,
     )
     u = main.join(
         lookup,
-        (main["_row_id"] == lookup["_row_id"]) & (main["language"] == lookup["_lang"]),
+        (main["_row_id"] == lookup["_rid"]) & (main["language"] == lookup["_lang"]),
         "inner",
-    ).drop("_lang")
+    ).drop("_lang", "_rid")
 
     dimless = q.filter(~has_unit).select(
         "id", "property", "datatype", "rank",
         F.col("datavalue.amount").alias("amount"),
         F.explode("property_labels").alias("language", "property_label"),
+        *_CARRY_COLS,
     )
     return _select_out(u).unionByName(_select_out(dimless))
 
 
+def _widen(field: str) -> "F.Column":
+    """int-or-float union -> double (reference keeps both fields,
+    process.py:135-145; Spark collapses to DoubleType per SURVEY §1.2)."""
+    return F.coalesce(
+        F.col(f"datavalue.{field}.{field}__number"),
+        F.col(f"datavalue.{field}.{field}__integer").cast("double"),
+    ).alias(field)
+
+
 def _scalar_branch(base: DataFrame) -> DataFrame:
-    """Direct property-labels explode (reference: claims.py:149-160)."""
+    """Direct property-labels explode (reference: claims.py:149-160)
+    over the full 14-type scalar dispatch list; globe-coordinate rows
+    additionally surface widened lat/lon/precision + globe."""
     s = base.filter(F.col("datatype").isin(SCALAR_TYPES)).select(
         "id", "property", "datatype", "rank",
         F.col("datavalue.value_str").alias("value_str"),
+        _widen("latitude"), _widen("longitude"), _widen("precision"),
+        F.col("datavalue.globe").alias("globe"),
         F.explode("property_labels").alias("language", "property_label"),
+        *_CARRY_COLS,
     )
     return _select_out(s)
 
@@ -226,6 +312,7 @@ def _monolingual_branch(base: DataFrame) -> DataFrame:
         F.element_at(F.col("property_labels"), F.col("datavalue.language")).alias(
             "property_label"
         ),
+        *_CARRY_COLS,
     )
     return _select_out(m.filter(F.col("property_label").isNotNull()))
 

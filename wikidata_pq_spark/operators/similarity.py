@@ -109,6 +109,78 @@ def lsh_topk(
     )
 
 
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id): self-join within a
+    random-hyperplane sign bucket.
+
+    The scale path for pair generation: with n_planes sign bits the
+    corpus splits into 2^n_planes buckets and pairs only form within a
+    bucket -- linear in sum(bucket^2), proportional to the true
+    near-dup density, never corpus-quadratic. High-cosine pairs land in
+    the same bucket with probability (1 - theta/pi)^n_planes.
+    """
+    planes = _planes(dim, n_planes, seed)
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("a_id"), "bucket")
+    b = bucketed.select(F.col("id").alias("b_id"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def verify_cosine_pairs(
+    emb: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verify stage over candidate pairs: two equi-joins
+    back to the vectors (linear in |candidates|), keep cosine >=
+    threshold. Deterministic given the candidate set."""
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = candidates.select("a_id", "b_id").distinct().join(a, "a_id").join(b, "b_id")
+    return (
+        pairs.withColumn("cos_sim", F.round(VX.cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """THE headline embedding near-dup operator: hyperplane-LSH bucket
+    candidates -> exact cosine verify. The quadratic term is confined
+    to within-bucket candidates; the exact math runs only on them."""
+    cands = lsh_candidate_pairs(
+        emb, n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim, seed=seed
+    )
+    return verify_cosine_pairs(
+        emb, cands, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -116,7 +188,12 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate embedding pairs: cosine >= threshold, a_id < b_id."""
+    """Near-duplicate embedding pairs: cosine >= threshold, a_id < b_id.
+
+    HELPER / exact baseline: quadratic within a block -- demoted in
+    favor of :func:`embedding_near_pairs` (LSH candidates -> cosine
+    verify) as the corpus-scale operator; kept for bounded blocks and
+    as the oracle-checkable exact form."""
     base = emb.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),

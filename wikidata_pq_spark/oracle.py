@@ -92,6 +92,111 @@ def oracle_triples(
     return out
 
 
+# --------------------------------------------------------------------------
+# Independent golden flattener for the reference-shaped entity rows
+# (pure python over parsed JSON -- no Spark, no shared code with
+# operators.flatten; agreement means the Catalyst explode/unnest/join
+# pipeline reproduces the reference's entity->rows mapping,
+# reference: claims.py:37-213, process.py:111-183).
+# --------------------------------------------------------------------------
+
+# deliberately re-declared (not imported from operators.flatten) so list
+# drift between the two implementations is caught by the golden test
+GOLDEN_SCALAR_TYPES = [
+    "external-id", "string", "time", "globe-coordinate", "commonsMedia",
+    "math", "musical-notation", "geo-shape", "tabular-data", "url",
+    "wikibase-lexeme", "wikibase-form", "wikibase-sense", "entity-schema",
+]
+
+FLAT_CLAIM_COLUMNS = [
+    "id", "property", "datatype", "rank", "language", "property_label",
+    "value_id", "value_str", "amount", "unit", "datavalue_label",
+    "latitude", "longitude", "precision", "globe",
+    "n_qual_snaks", "n_ref_snaks",
+]
+
+
+def _widen_coord(dv: dict, field: str):
+    d = dv.get(field) or {}
+    v = d.get(f"{field}__number")
+    if v is None:
+        iv = d.get(f"{field}__integer")
+        v = float(iv) if iv is not None else None
+    return v
+
+
+def golden_flatten_claims(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Four-branch claims flattening golden (scalar projection):
+    one row per (claim x matching language), qualifier/reference snak
+    counts carried per row."""
+    import json
+
+    rows = []
+    for _, r in pdf.iterrows():
+        if r["claims"] is None:
+            continue
+        for claim_list in json.loads(r["claims"]).values():
+            for cl in claim_list:
+                ms = cl["mainsnak"]
+                dv = ms["datavalue"]
+                plabels = ms["property_labels"]
+                quals = cl.get("qualifiers") or {}
+                refs = cl.get("references") or []
+                base = {
+                    "id": r["id"],
+                    "property": ms["property"],
+                    "datatype": ms["datatype"],
+                    "rank": cl["rank"],
+                    "n_qual_snaks": sum(len(v) for v in quals.values()),
+                    "n_ref_snaks": sum(
+                        len(v) for ref in refs for v in ref.values()
+                    ),
+                }
+
+                def emit(language, property_label, **kw):
+                    row = dict.fromkeys(FLAT_CLAIM_COLUMNS)
+                    row.update(base)
+                    row["language"] = language
+                    row["property_label"] = property_label
+                    row.update(kw)
+                    rows.append(row)
+
+                dt = ms["datatype"]
+                if dt in ("wikibase-item", "wikibase-property"):
+                    labels = dv.get("labels") or {}
+                    for lang, plab in plabels.items():
+                        if lang in labels:
+                            emit(lang, plab, value_id=dv.get("value_id"),
+                                 datavalue_label=labels[lang])
+                elif dt == "quantity":
+                    ul = dv.get("unit_labels") or {}
+                    if ul:
+                        for lang, plab in plabels.items():
+                            if lang in ul:
+                                emit(lang, plab, amount=dv.get("amount"),
+                                     unit=dv.get("unit"), datavalue_label=ul[lang])
+                    else:
+                        for lang, plab in plabels.items():
+                            emit(lang, plab, amount=dv.get("amount"))
+                elif dt == "monolingualtext":
+                    lang = dv.get("language")
+                    if lang in plabels:
+                        emit(lang, plabels[lang], value_str=dv.get("text"))
+                elif dt in GOLDEN_SCALAR_TYPES:
+                    for lang, plab in plabels.items():
+                        emit(lang, plab, value_str=dv.get("value_str"),
+                             latitude=_widen_coord(dv, "latitude"),
+                             longitude=_widen_coord(dv, "longitude"),
+                             precision=_widen_coord(dv, "precision"),
+                             globe=dv.get("globe"))
+    out = pd.DataFrame(rows, columns=FLAT_CLAIM_COLUMNS)
+    for c in ("amount", "latitude", "longitude", "precision"):
+        out[c] = out[c].astype("float64")
+    for c in ("n_qual_snaks", "n_ref_snaks"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def precision_recall(
     got: pd.DataFrame, golden: pd.DataFrame, keys: tuple[str, ...] = ("subj", "pred", "obj")
 ) -> tuple[float, float]:
