@@ -59,6 +59,46 @@ def test_kill_and_resume_identical(spark, spark_corpus, tmp_path):
     assert len(lineage) == 4
 
 
+def test_per_chunk_audit_sidecars_post_check(spark, spark_corpus, tmp_path):
+    """Per-(chunk x bucket) sidecars (the reference's per-source x table
+    sidecar keying, reference: partitioning/core.py:14-35) survive a
+    kill/resume and post-check against the sinks."""
+    out = str(tmp_path / "kg")
+    pipe = ChunkedKGPipeline(spark, out, n_chunks=4, n_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run(
+            spark_corpus["transcripts"],
+            spark_corpus["alias_dict"],
+            spark_corpus["same_as"],
+            fail_after_chunk=1,
+        )
+    # completed chunks already post-check mid-crash; incomplete are skipped
+    assert pipe.post_check()
+
+    pipe2 = ChunkedKGPipeline(spark, out, n_chunks=4, n_buckets=4)
+    pipe2.run(
+        spark_corpus["transcripts"], spark_corpus["alias_dict"], spark_corpus["same_as"]
+    )
+    assert pipe2.post_check()
+    # sidecars carry the chunk unit and bucket key with rows/min/max
+    audit = spark.read.option("basePath", out + "/audit").parquet(out + "/audit/chunk=*")
+    pdf = audit.toPandas()
+    assert {"chunk", "bucket", "rows", "min_id", "max_id"} <= set(pdf.columns)
+    assert set(pdf["chunk"]) == {0, 1, 2, 3}
+    # sidecar row totals == lineage row totals per chunk
+    lin = spark.read.parquet(out + "/lineage").toPandas()
+    got = pdf.groupby("chunk")["rows"].sum().to_dict()
+    assert {int(k): int(v) for k, v in got.items()} == dict(
+        zip(lin["chunk"], lin["rows"])
+    )
+    # tamper -> post-check fails
+    import pathlib
+
+    victim = next(pathlib.Path(out, "triples", "chunk=0").rglob("*.parquet"))
+    victim.unlink()
+    assert not pipe2.post_check()
+
+
 def test_chunks_partition_conversations(spark, spark_corpus):
     chunked = spark_corpus["transcripts"].withColumn(
         "c", ChunkedKGPipeline.chunk_col(4)

@@ -91,7 +91,8 @@ class KGPipeline:
                 "bucket", tableio.bucket_column("subj", self.n_buckets)
             )
             tableio.write_with_audit(
-                edges, self.path("edges"), ["bucket"], id_col="subj"
+                edges, self.path("edges"), ["bucket"], id_col="subj",
+                source=("source", UNIT),
             )
             nodes = (
                 triples.select(F.col("subj").alias("entity_id"))
@@ -104,14 +105,19 @@ class KGPipeline:
                 .withColumn("bucket", tableio.bucket_column("entity_id", self.n_buckets))
             )
             tableio.write_with_audit(
-                nodes, self.path("nodes"), ["bucket"], id_col="entity_id"
+                nodes, self.path("nodes"), ["bucket"], id_col="entity_id",
+                source=("source", UNIT),
             )
             st.set(unit, Step.MATERIALIZED, **st.metrics(unit))
 
         if st.gate(unit, Step.VERIFIED):
-            ok_e = tableio.post_check(self.spark, self.path("edges"), ["bucket"], "subj")
+            ok_e = tableio.post_check(
+                self.spark, self.path("edges"), ["bucket"], "subj",
+                source=("source", UNIT),
+            )
             ok_n = tableio.post_check(
-                self.spark, self.path("nodes"), ["bucket"], "entity_id"
+                self.spark, self.path("nodes"), ["bucket"], "entity_id",
+                source=("source", UNIT),
             )
             if not (ok_e and ok_n):
                 raise RuntimeError("post-check failed: sink != audit sidecar")
@@ -152,18 +158,43 @@ class ChunkedKGPipeline:
     this sandbox's filter-over-parquet.
     """
 
-    def __init__(self, spark: SparkSession, out_dir: str, n_chunks: int = 8):
+    def __init__(
+        self, spark: SparkSession, out_dir: str, n_chunks: int = 8, n_buckets: int = 8
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.n_chunks = n_chunks
+        self.n_buckets = n_buckets
         self.state = StateStore(os.path.join(out_dir, "_state"))
 
     def path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
+    def _audit_path(self, chunk: int) -> str:
+        return os.path.join(self.path("audit"), f"chunk={chunk}")
+
     @staticmethod
     def chunk_col(n_chunks: int):
         return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_chunks)).cast("int")
+
+    def post_check(self) -> bool:
+        """Verify every completed chunk's sink against its (chunk x
+        bucket) sidecar -- the reference's post-check over per-source
+        sidecars (reference: DESIGN.md:95-112)."""
+        ok = True
+        for i in range(self.n_chunks):
+            unit = f"chunk_{i:05d}"
+            if self.state.gate(unit, Step.COMPLETE):
+                continue  # incomplete chunk: nothing to verify
+            ok = ok and tableio.post_check(
+                self.spark,
+                os.path.join(self.path("triples"), f"chunk={i}"),
+                ["bucket"],
+                "subj",
+                source=("chunk", i),
+                audit_path=self._audit_path(i),
+            )
+        return ok
 
     def run(
         self,
@@ -199,14 +230,19 @@ class ChunkedKGPipeline:
                 .select("subj", "pred", "obj", "conv_id", "turn_idx")
                 .distinct()
                 .withColumn("chunk", F.lit(i))
+                .withColumn("bucket", tableio.bucket_column("subj", self.n_buckets))
             )
-            (
-                triples.write.mode("overwrite")
-                .parquet(os.path.join(self.path("triples"), f"chunk={i}"))
+            # per-unit sidecar keyed (chunk, bucket) under a shared
+            # audit/ tree -- the reference's per-(source x table)
+            # sidecar layout (reference: partitioning/core.py:14-35)
+            chunk_dir = os.path.join(self.path("triples"), f"chunk={i}")
+            tableio.write_with_audit(
+                triples, chunk_dir, ["bucket"], id_col="subj",
+                source=("chunk", i),
+                audit_path=self._audit_path(i),
             )
-            n = self.spark.read.parquet(
-                os.path.join(self.path("triples"), f"chunk={i}")
-            ).count()
+            # sidecar's rows total = the lineage row count
+            n = self.spark.read.parquet(chunk_dir).count()
             self.state.set(unit, Step.COMPLETE, rows=n)
             lineage[i] = n
             if fail_after_chunk is not None and i >= fail_after_chunk:

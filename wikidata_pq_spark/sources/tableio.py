@@ -67,13 +67,28 @@ def write_with_audit(
     partition_cols: list[str],
     id_col: str,
     mode: str = "overwrite",
+    source: tuple[str, object] | None = None,
+    audit_path: str | None = None,
 ) -> None:
-    """Partitioned write + sidecar audit parquet at <path>_audit."""
+    """Partitioned write + sidecar audit parquet.
+
+    ``source`` = (column_name, value) stamps the processing unit on
+    every sidecar row -- the key the reference's sidecars carry (one
+    sidecar per source file x table, named for its source,
+    reference: partitioning/core.py:14-35) -- so the post-check can
+    verify per (source x partition), not just per partition.
+    ``audit_path`` overrides the default ``<path>_audit`` location
+    (per-unit writers accumulate sidecars under a shared audit/ tree,
+    the layout of the reference's audit/{table}/{source_name}).
+    """
     write_partitioned(df, path, partition_cols, mode=mode)
     audit = audit_frame(
         df.sparkSession.read.parquet(path), partition_cols, id_col
     )
-    audit.write.mode(mode).parquet(path + "_audit")
+    if source is not None:
+        col, value = source
+        audit = audit.select(F.lit(value).alias(col), "*")
+    audit.write.mode(mode).parquet(audit_path or path + "_audit")
 
 
 def write_bucketed_table(
@@ -97,19 +112,33 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(name)
 
 
-def post_check(spark: SparkSession, path: str, partition_cols: list[str], id_col: str) -> bool:
+def post_check(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    id_col: str,
+    source: tuple[str, object] | None = None,
+    audit_path: str | None = None,
+) -> bool:
     """Re-read what was written and compare against the sidecar.
 
     The reference's post-check step (reference: DESIGN.md:95-112,
     docs/journal/2025-01-16-03-implement-postcheck-DRAFT.md:24-33):
     recompute (rows, min_id, max_id) from the sink and verify it matches
-    the audit sidecar exactly.
+    the audit sidecar exactly -- per (source x partition) when the
+    sidecar carries a source unit.
     """
-    if not os.path.exists(path + "_audit"):
+    apath = audit_path or path + "_audit"
+    if not os.path.exists(apath):
         return False
     written = audit_frame(spark.read.parquet(path), partition_cols, id_col)
-    sidecar = spark.read.parquet(path + "_audit")
-    cols = partition_cols + ["rows", "min_id", "max_id"]
+    key_cols = list(partition_cols)
+    if source is not None:
+        col, value = source
+        written = written.select(F.lit(value).alias(col), "*")
+        key_cols = [col] + key_cols
+    sidecar = spark.read.parquet(apath)
+    cols = key_cols + ["rows", "min_id", "max_id"]
     diff = written.select(cols).exceptAll(sidecar.select(cols))
     diff2 = sidecar.select(cols).exceptAll(written.select(cols))
     return diff.union(diff2).limit(1).count() == 0
