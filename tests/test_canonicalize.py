@@ -80,6 +80,38 @@ def test_apply_canonical(spark):
     assert list(out["obj"]) == ["Q1", "1999"]
 
 
+def test_apply_canonical_broadcast_gating(spark):
+    """Small component map -> broadcast hint; over-threshold map -> the
+    hint is withheld so the join shuffles on its key (AQE may still
+    pick broadcast at these toy sizes, so assert on the OPTIMIZED
+    LOGICAL plan where only the explicit hint appears)."""
+    triples = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "subj": ["Q5"], "pred": ["P1"], "obj": ["Q6"],
+                "obj_kind": ["entity"], "conv_id": ["c"], "turn_idx": [0],
+            }
+        )
+    )
+    comps = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [f"Q{i}" for i in range(100)],
+                      "canonical_id": ["Q1"] * 100})
+    )
+
+    def logical_plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    hinted = canonicalize.apply_canonical(triples, comps)
+    assert "broadcast" in logical_plan(hinted).lower()
+    gated = canonicalize.apply_canonical(triples, comps, broadcast_threshold=10)
+    assert "broadcast" not in logical_plan(gated).lower()
+    # both plans produce identical rows
+    assert (
+        hinted.toPandas().sort_index(axis=1).values.tolist()
+        == gated.toPandas().sort_index(axis=1).values.tolist()
+    )
+
+
 @pytest.mark.parametrize("n", [2, 3])
 def test_cc_deterministic(spark, n):
     edges = [(f"Q{i}", f"Q{i + n}") for i in range(1, 30)]

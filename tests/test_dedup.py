@@ -70,6 +70,34 @@ def test_simhash_identical_and_near(docs):
     assert z["hamming"].iloc[0] == 0
 
 
+def test_ngram_jaccard_order_sensitivity(spark):
+    """Shingle Jaccard separates reorderings that token Jaccard cannot:
+    identical token BAGS in a different order share few 3-gram shingles."""
+    rows = [
+        (0, "one two three four five six", "en"),
+        (1, "one two three four five six", "en"),     # identical
+        (2, "six five four three two one", "en"),     # same bag, reversed
+        (3, "one two three four five seven", "en"),   # one-token change
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    ng = dedup.ngram_jaccard_pairs(df, threshold=0.3, n=3).toPandas()
+    ngp = {(a, b): j for a, b, j in zip(ng["a_id"], ng["b_id"], ng["jaccard"])}
+    assert ngp[(0, 1)] == 1.0
+    assert (0, 2) not in ngp  # reversed order: zero shared shingles
+    assert 0.3 <= ngp[(0, 3)] < 1.0
+    # token-level Jaccard scores the reversal 1.0 -- the contrast
+    tk = dedup.token_jaccard_pairs(df, threshold=0.9).toPandas()
+    tkp = set(zip(tk["a_id"], tk["b_id"]))
+    assert (0, 2) in tkp
+
+
+def test_ngram_jaccard_short_docs_dropped(spark):
+    rows = [(0, "only two", "en"), (1, "only two", "en")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3).toPandas()
+    assert len(out) == 0  # < n tokens -> no shingles -> no pairs
+
+
 def test_near_dup_pairs_composition(docs):
     """LSH candidates -> exact-Jaccard verify: result is exactly the
     LSH-recalled subset of the unblocked exact operator, with identical

@@ -77,6 +77,27 @@ def test_embedding_near_pairs_composition(emb):
         assert exact_pairs[k] == c
 
 
+def test_ivf_topk_recall_and_determinism(emb):
+    """IVF probes its n_probe nearest cells: colinear vectors share the
+    nearest centroid so the codirectional pair is always recalled; at
+    n_probe = n_cells the result EQUALS brute force (full scan)."""
+    df, _ = emb
+    got = similarity.ivf_topk(df, n_queries=3, k=4, n_cells=4, n_probe=2, sample_rows=50).toPandas()
+    for q, grp in got.groupby("query_id"):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+    q0 = got[got["query_id"] == 0]
+    assert 1 in set(q0["neighbor_id"])
+    # determinism (fixed seed + lowest-id sample)
+    again = similarity.ivf_topk(df, n_queries=3, k=4, n_cells=4, n_probe=2, sample_rows=50).toPandas()
+    assert got.sort_values(["query_id", "rank"]).values.tolist() == \
+        again.sort_values(["query_id", "rank"]).values.tolist()
+    # full-probe == brute force
+    full = similarity.ivf_topk(df, n_queries=3, k=4, n_cells=4, n_probe=4, sample_rows=50).toPandas()
+    brute = similarity.brute_force_topk(df, n_queries=3, k=4).toPandas()
+    assert full.sort_values(["query_id", "rank"]).values.tolist() == \
+        brute.sort_values(["query_id", "rank"]).values.tolist()
+
+
 def test_verify_cosine_on_given_candidates(emb, spark):
     df, vecs = emb
     cands = spark.createDataFrame(pd.DataFrame({"a_id": [0, 2], "b_id": [1, 3]}))

@@ -97,3 +97,43 @@ def test_windowed_event_counts(spark, tmp_path):
     ]
     assert first["n"].iloc[0] == 2 and first["total_value"].iloc[0] == 3.0
     assert out["n"].sum() == 6
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """First-seen wins across micro-batches: a duplicate text arriving
+    in a LATER file is dropped by the digest state."""
+    in_dir, out_dir, ckpt = str(tmp_path / "sin"), str(tmp_path / "sout"), str(tmp_path / "sck")
+    rows1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta gamma", "delta epsilon"],
+            "ts": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:01:00"]),
+        }
+    )
+    rows2 = pd.DataFrame(
+        {
+            "doc_id": [2, 3],
+            "text": ["alpha beta gamma", "zeta eta"],  # 2 duplicates 0
+            "ts": pd.to_datetime(["2026-01-01 00:02:00", "2026-01-01 00:03:00"]),
+        }
+    )
+    spark.createDataFrame(rows1).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = incremental.streaming_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got["doc_id"]) == [0, 1, 3]
+    assert got["digest"].nunique() == 3

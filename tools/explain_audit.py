@@ -44,7 +44,22 @@ CHECKS = {
     "dedup_token_jaccard": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], []),
     "ann_topk_bruteforce": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
     "w1_topk_per_group": ([r"Window"], []),
-    "kg_triples": ([r"MapInPandas", r"BroadcastHashJoin"], [r"CartesianProduct"]),
+    # default KG path: pure Catalyst -- NO Python in the plan at all
+    "kg_triples": (
+        [r"Generate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # Arrow path kept contract-covered: mapInPandas + broadcast joins
+    "kg_triples_arrow": ([r"MapInPandas", r"BroadcastHashJoin"], [r"CartesianProduct"]),
+    # composed near-dup: banding aggregates + candidate equi-joins only
+    "dedup_near_dup": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "flatten_claims_fourbranch": (
+        [r"Generate", r"Union"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 

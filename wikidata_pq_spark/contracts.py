@@ -501,12 +501,25 @@ def q_dedup_embedding(spark, sf):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf):
+    """Word-order-sensitive near-dup: exact 3-gram shingle Jaccard
+    (blocked); full SQL oracle recomputes the shingling in DuckDB."""
+    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.5, n=3)
+
+
 def q_ann_topk(spark, sf):
     return similarity.brute_force_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
 
 
 def q_ann_lsh(spark, sf):
     return similarity.lsh_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+
+
+def q_ann_ivf(spark, sf):
+    """IVF ANN (inverted-file coarse quantizer): rows-only check --
+    k-means centroids are float-iteration artifacts with no ANSI-SQL
+    recomputation; recall vs brute force is pytest-asserted."""
+    return similarity.ivf_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
 
 
 def q_text_stats(spark, sf):
@@ -692,10 +705,12 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_near_dup": q_dedup_near_dup,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_token_stats": q_text_stats,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality,
@@ -960,6 +975,21 @@ ORACLE_SQL = {
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                     len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH t0 AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, lang,
+                     list_sort(list_distinct(
+                       list_transform(range(1, greatest(len(toks)-1, 1)),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+              FROM t0),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+          FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
     """,
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

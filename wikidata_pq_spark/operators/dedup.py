@@ -93,6 +93,52 @@ def token_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact n-gram (shingle) Jaccard near-dup pairs (a_id < b_id).
+
+    Word-order-sensitive variant of token Jaccard: the sets are
+    space-joined n-token shingles (the same shingling MinHash hashes),
+    so reordered documents score low where bag-of-tokens scores 1.0.
+    Same blocked-self-join shape and the same size-ratio prefilter; at
+    corpus scale run it on LSH candidates (near_dup_pairs already uses
+    shingle-based signatures, so its verify threshold transfers).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+        F.array_sort(
+            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
+        ).alias("sh"),
+    ).withColumn("nsh", F.size("sh"))
+    a = base.select(
+        F.col("id").alias("a_id"), "blk", F.col("sh").alias("a_sh"),
+        F.col("nsh").alias("a_n"),
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), "blk", F.col("sh").alias("b_sh"),
+        F.col("nsh").alias("b_n"),
+    )
+    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= threshold
+    pairs = a.join(b, "blk").filter(
+        (F.col("a_id") < F.col("b_id")) & size_ok & (F.col("a_n") > 0) & (F.col("b_n") > 0)
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.col("a_n") + F.col("b_n") - inter
+    jac = inter / union
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 32,

@@ -80,6 +80,29 @@ def incremental_extract(
     )
 
 
+def streaming_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins, duplicates dropped
+    across micro-batches.
+
+    ``dropDuplicates`` on the content digest keeps per-key state in the
+    state store; the watermark bounds that state (a duplicate arriving
+    later than the watermark can re-emit -- the standard
+    bounded-state/exactness trade every streaming dedup makes at scale;
+    training-data ingestion pairs this with the batch exact_dup_groups
+    backstop downstream).
+    """
+    return (
+        docs_stream.withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["digest"])
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",
