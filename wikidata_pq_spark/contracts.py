@@ -376,6 +376,19 @@ def q_rollup_revenue(spark, sf):
     )
 
 
+def q_cube_revenue(spark, sf):
+    """Cube subtotals over (status, priority) -- the grouping-sets
+    family alongside rollup (absent in the reference, Spark-native)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def q_asof_last_click(spark, sf):
     """As-of backward join (custom operator; Spark lacks a native one):
     for each purchase, the most recent prior click by the same user."""
@@ -692,6 +705,7 @@ QUERIES = {
     "q5_region_revenue": q_region_revenue,
     "sql_api_revenue": q_sql_api_revenue,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "asof_last_click": q_asof_last_click,
     "range_join_within": q_range_join_pairs,
     "sessionize_events": q_sessionize,
@@ -895,6 +909,11 @@ ORACLE_SQL = {
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "cube_revenue": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "asof_last_click": """
         WITH tagged AS (

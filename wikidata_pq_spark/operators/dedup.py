@@ -1,18 +1,23 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, ordered by cost:
+Families, ordered by cost:
 
 - exact: hash-groupBy (one shuffle on the digest; at 100 TB the digest
   shuffle is ~32 bytes/row -- always do this first).
-- token-set Jaccard: blocked self-join; the block key (here: lang)
-  bounds the quadratic term. Exact, oracle-checkable.
+- token-set / n-gram-shingle Jaccard: blocked self-joins; exact,
+  oracle-checkable. Quadratic WITHIN a block -- demoted to bounded-block
+  baselines and the verify stage behind LSH.
 - MinHash + LSH banding: shingle -> signature -> band buckets ->
   candidate pairs. Sub-quadratic: only rows sharing a band bucket ever
   meet in the join. Signatures are pure Catalyst expressions
   (xxhash64 + universal hashing), no Python.
+- **near_dup_pairs (headline)**: LSH candidates -> exact-Jaccard
+  verify. Linear candidate generation; exact math confined to the
+  candidate set. The corpus-scale composition.
 - SimHash: 64-bit near-dup fingerprint via a vectorized pandas UDF
   (bit-level ops aren't expressible as array functions without 64
-  nested lambdas -- the sanctioned Arrow slow path).
+  nested lambdas -- the sanctioned Arrow slow path); pairing via
+  Hamming-chunk banding, never a quadratic join.
 """
 
 from __future__ import annotations

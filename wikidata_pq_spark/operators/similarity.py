@@ -7,8 +7,13 @@
   corpus is bucketed by sign-bit signature, candidates only meet within
   a bucket (plus multi-probe neighbors), turning O(Q x N) into
   O(Q x bucket).
-- ``embedding_dup_pairs``: near-duplicate detection by pairwise cosine
-  over a blocked self-join (dedup family, embedding modality).
+- ``ivf_topk``: inverted-file ANN -- deterministic spherical-k-means
+  coarse quantizer (driver-side on a bounded sample; the centroid
+  table is index metadata), corpus bucketed by nearest centroid,
+  queries probe their n_probe nearest cells.
+- ``embedding_near_pairs`` (headline near-dup): hyperplane-bucket
+  candidates -> exact cosine verify; ``embedding_dup_pairs`` is the
+  exact blocked baseline it demotes.
 
 All dot products are JVM-side zip_with/aggregate folds in double --
 no Python, and bitwise-reproducible for the DuckDB oracle.
