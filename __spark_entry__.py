@@ -50,11 +50,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every query except the four genuinely
-    non-SQL-expressible ones (probabilistic LSH banding x2, SimHash,
-    stubbed media decode -- rows-only checks). The KG pipeline and
-    flatten queries check against golden parquets computed by
-    INDEPENDENT driver-side implementations (pandas oracle pipeline /
-    python golden flattener); the composed LSH->verify near-dup ops
-    export their candidate set and the SQL re-verifies it exactly."""
+    """DuckDB-equivalent SQL for EVERY query (no rows-only checks
+    left). Three oracle classes:
+    - plain ANSI recomputation over the testdata views (most queries);
+    - golden parquets computed by INDEPENDENT driver-side
+      implementations (pandas oracle pipeline / python golden
+      flattener) that the SQL re-reads (kg_*, flatten_claims);
+    - export-the-non-SQL-step: probabilistic/driver-side artifacts
+      (LSH candidate sets, minhash/simhash signatures, hyperplane
+      buckets, IVF cells+probes) are exported at the gate sf and the
+      SQL re-derives everything downstream -- joins, banding, Hamming,
+      cosine ranking, verify filters -- from scratch."""
     return dict(contracts.ORACLE_SQL)

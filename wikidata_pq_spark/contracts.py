@@ -475,11 +475,25 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    return dedup.minhash_lsh_candidates(load(spark, sf, "documents"))
+    """MinHash-LSH banding candidates. Oracle: the signatures (xxhash64
+    minhash -- the only non-SQL step) are exported; the SQL re-derives
+    the banding (signature slicing), the bucket self-join and the pair
+    dedup from scratch."""
+    d = load(spark, sf, "documents")
+    if _is_gate_sf(sf):
+        _export_golden(dedup.minhash_signatures(d, n_hashes=32).toPandas(), "minhash_sigs")
+    return dedup.minhash_lsh_candidates(d)
 
 
 def q_dedup_simhash(spark, sf):
-    return dedup.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=3)
+    """SimHash Hamming-chunk near-dup pairs. Oracle: the 64-bit
+    fingerprints (pandas-UDF md5 bit votes) are exported; the SQL
+    re-derives chunk banding, the bucket join, XOR popcount Hamming
+    distance and the threshold filter."""
+    d = load(spark, sf, "documents")
+    if _is_gate_sf(sf):
+        _export_golden(dedup.simhash64(d).toPandas(), "simhash_sigs")
+    return dedup.simhash_near_pairs(d, max_hamming=3)
 
 
 def q_dedup_near_dup(spark, sf):
@@ -525,14 +539,50 @@ def q_ann_topk(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
-    return similarity.lsh_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+    """Hyperplane-LSH bucketed top-k. Oracle: the bucket assignment
+    (the only non-SQL step -- numpy plane constants) is exported; the
+    SQL re-derives candidate generation, cosine scoring and ranking
+    within buckets from scratch."""
+    emb = load(spark, sf, "embeddings")
+    if _is_gate_sf(sf):
+        planes = similarity._planes(64, 4, 42)
+        buckets = emb.select(
+            F.col("vec_id"),
+            similarity.lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+        )
+        _export_golden(buckets.toPandas(), "ann_lsh_buckets")
+    return similarity.lsh_topk(emb, n_queries=10, k=5)
 
 
 def q_ann_ivf(spark, sf):
-    """IVF ANN (inverted-file coarse quantizer): rows-only check --
-    k-means centroids are float-iteration artifacts with no ANSI-SQL
-    recomputation; recall vs brute force is pytest-asserted."""
-    return similarity.ivf_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+    """IVF ANN (inverted-file coarse quantizer). Oracle: the k-means
+    cell assignments and per-query probe lists (the non-SQL steps --
+    float-iteration centroids) are exported; the SQL re-derives the
+    inverted-file candidate join, cosine scoring and ranking from
+    scratch. Recall vs brute force is additionally pytest-asserted."""
+    import numpy as np
+
+    emb = load(spark, sf, "embeddings")
+    if _is_gate_sf(sf):
+        sample = np.array(
+            emb.orderBy("vec_id").limit(2048).select("embedding").toPandas()["embedding"].tolist()
+        )
+        cents = similarity._spherical_kmeans(sample, n_cells=16, seed=42)
+        cells = emb.select(
+            "vec_id",
+            F.element_at(
+                similarity._nearest_cells_col(F.col("embedding"), cents, 1), 1
+            ).alias("cell"),
+        )
+        probes = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                similarity._nearest_cells_col(F.col("embedding"), cents, 2)
+            ).alias("cell"),
+        )
+        _export_golden(cells.toPandas(), "ivf_cells")
+        _export_golden(probes.toPandas(), "ivf_probes")
+    return similarity.ivf_topk(emb, n_queries=10, k=5, n_cells=16, n_probe=2)
 
 
 def q_text_stats(spark, sf):
@@ -552,6 +602,11 @@ def q_fingerprint(spark, sf):
 
 
 def q_media_features(spark, sf):
+    """Binary-payload plumbing + mapInPandas 'decode'. The stub features
+    are deterministic functions of the payload bytes, so the oracle
+    recomputes ALL of them in SQL (md5, byte length, hex-fold fake
+    dimensions) straight from the documents table -- a full value-hash
+    check of the Arrow batch path."""
     media = multimodal.attach_fake_media(load(spark, sf, "documents"))
     return multimodal.decode_features(media)
 
@@ -1114,6 +1169,84 @@ ORACLE_SQL = {
           FROM c JOIN embeddings a ON a.vec_id = c.a_id
                  JOIN embeddings b ON b.vec_id = c.b_id)
         SELECT a_id, b_id, cos_sim FROM j WHERE cos_sim >= 0.35
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH s AS (SELECT id, sig
+                   FROM read_parquet('{_export_path("minhash_sigs")}')),
+        b AS (SELECT id, t.bi AS bi,
+                     array_to_string(sig[t.bi*4+1 : t.bi*4+4], ',') AS key
+              FROM s, range(0, 8) t(bi))
+        SELECT DISTINCT a.id AS a_id, b2.id AS b_id
+        FROM b a JOIN b b2
+          ON a.bi = b2.bi AND a.key = b2.key AND a.id < b2.id
+    """,
+    "dedup_simhash": f"""
+        WITH s AS (SELECT doc_id, simhash
+                   FROM read_parquet('{_export_path("simhash_sigs")}')),
+        c AS (SELECT doc_id, simhash,
+                     t.ci AS ci, (simhash >> (t.ci*16)) & 65535 AS cv
+              FROM s, range(0, 4) t(ci))
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM c a JOIN c b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "mm_decode_features": """
+        WITH f AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
+                      ELSE 'audio/fake' END AS media_type,
+                 octet_length(encode(text)) AS n_bytes,
+                 md5(text) AS checksum
+          FROM documents),
+        h AS (SELECT *,
+                CAST(list_sum(list_transform(
+                    regexp_extract_all(substr(checksum, 1, 8), '.'),
+                    (ch, i) -> (strpos('0123456789abcdef', ch) - 1)
+                               * (16 ** (8 - i)))) AS BIGINT) AS hv
+              FROM f)
+        SELECT doc_id, media_type, n_bytes, checksum,
+               CAST(16 + (hv % 1024) AS INTEGER) AS fake_width,
+               CAST(16 + ((hv // 1024) % 1024) AS INTEGER) AS fake_height
+        FROM h
+    """,
+    "ann_lsh_bucketed": f"""
+        WITH bk AS (SELECT vec_id, bucket
+                    FROM read_parquet('{_export_path("ann_lsh_buckets")}')),
+        q AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, bk.bucket
+              FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
+              WHERE e.vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 {_cosine_sql('q.qvec', 'e.embedding')} AS sim
+          FROM q JOIN bk ON q.bucket = bk.bucket
+                 JOIN embeddings e ON e.vec_id = bk.vec_id
+          WHERE e.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= 5
+    """,
+    "ann_ivf": f"""
+        WITH cells AS (SELECT vec_id, cell
+                       FROM read_parquet('{_export_path("ivf_cells")}')),
+        probes AS (SELECT query_id, cell
+                   FROM read_parquet('{_export_path("ivf_probes")}')),
+        q AS (SELECT p.query_id, p.cell, e.embedding AS qvec
+              FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {_cosine_sql('q.qvec', 'e.embedding')} AS sim
+          FROM q JOIN cells c ON q.cell = c.cell
+                 JOIN embeddings e ON e.vec_id = c.vec_id
+          WHERE c.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= 5
     """,
     # -- golden-parquet oracles: goldens computed by INDEPENDENT
     # driver-side implementations (pandas oracle pipeline / python
