@@ -185,3 +185,28 @@ def test_id_preservation_audit(sdf, entity_rows):
     assert flatten.flatten_links(sdf).select("id").distinct().count() == n_ids
     n_alias_ids = flatten.flatten_aliases(sdf).select("id").distinct().count()
     assert n_alias_ids == (entity_rows["aliases"].notna()).sum()
+
+
+def test_partition_entity_tables(spark, sdf, entity_rows, tmp_path):
+    """The reference's PARTITION stage end-to-end: five Hive-partitioned
+    sinks + per-(source x table) sidecars, all post-checked."""
+    import os
+
+    from wikidata_pq_spark.pipeline import PARTITION_KEYS, partition_entity_tables
+
+    out = str(tmp_path / "results")
+    ok = partition_entity_tables(sdf, out, source_name="chunk_0")
+    assert ok == {t: True for t in PARTITION_KEYS}
+    # hive layout per table key (reference: results/<tbl>/language=X/)
+    assert any(d.startswith("language=") for d in os.listdir(out + "/labels"))
+    assert any(d.startswith("site=") for d in os.listdir(out + "/links"))
+    # sidecar named for its source under audit/<table>/<source>
+    side = spark.read.parquet(out + "/audit/claims/chunk_0").toPandas()
+    assert set(side["source"]) == {"chunk_0"}
+    assert {"language", "rows", "min_id", "max_id"} <= set(side.columns)
+    # re-read equals the flatten row count (ID-preservation style audit)
+    n = spark.read.parquet(out + "/labels").count()
+    assert n == flatten.flatten_labels(sdf, "labels").count()
+    # claims keep qualifiers/references through the partitioned sink
+    claims = spark.read.parquet(out + "/claims")
+    assert "qualifiers" in claims.columns and "references" in claims.columns

@@ -138,6 +138,49 @@ class KGPipeline:
         return self.spark.read.parquet(self.path("nodes"))
 
 
+PARTITION_KEYS = {
+    # the reference's per-table partition keys: language everywhere,
+    # site for sitelinks (reference: config.py:41-47, DESIGN.md:72-80)
+    "labels": "language",
+    "descriptions": "language",
+    "aliases": "language",
+    "links": "site",
+    "claims": "language",
+}
+
+
+def partition_entity_tables(
+    entity_df: DataFrame, out_dir: str, source_name: str = "entities"
+) -> dict[str, bool]:
+    """The reference's PARTITION stage (reference: main.py:111-130 ->
+    partitioning/core.py:38-58): flatten one entity frame into its five
+    tables and sink each as Hive-partitioned parquet with a
+    per-(source x table) audit sidecar, then post-check every sink
+    against its sidecar. Returns {table: post_check_ok}.
+
+    Layout mirrors the reference:
+      <out>/<table>/<key>=X/...parquet
+      <out>/audit/<table>/<source_name>   (sidecar, keyed source x key)
+    """
+    from .operators import flatten
+
+    tables = flatten.flatten_all(entity_df)
+    results: dict[str, bool] = {}
+    for name, tdf in tables.items():
+        key = PARTITION_KEYS[name]
+        path = os.path.join(out_dir, name)
+        audit = os.path.join(out_dir, "audit", name, source_name)
+        tableio.write_with_audit(
+            tdf, path, [key], id_col="id",
+            source=("source", source_name), audit_path=audit,
+        )
+        results[name] = tableio.post_check(
+            tdf.sparkSession, path, [key], "id",
+            source=("source", source_name), audit_path=audit,
+        )
+    return results
+
+
 class ChunkedKGPipeline:
     """Chunk-granular resumable pipeline -- the faithful analogue of the
     reference's FILE-granular state machine (reference: state.py:11-18
