@@ -78,3 +78,54 @@ def test_end_to_end_json_column(spark):
     bad = spark.createDataFrame(pd.DataFrame({"payload": ['{"rogue": 1}']}))
     with pytest.raises(schema_check.SchemaMismatch):
         schema_check.check_json_column(spark, bad, "payload", DECLARED)
+
+
+def test_validate_entity_schemas_accepts_fixture(spark):
+    """The declared entity schemas accept the reference-shaped fixture
+    (incl. dynamic-key maps inferring as structs of observed keys)."""
+    from wikidata_pq_spark import datagen
+    from wikidata_pq_spark.operators import flatten
+
+    df = spark.createDataFrame(datagen.gen_entity_rows(25, seed=7))
+    flatten.validate_entity_schemas(df)  # must not raise
+
+
+def test_validate_entity_schemas_rejects_drift(spark):
+    """A claim carrying an UNDECLARED mainsnak field is fatal, like the
+    reference's SystemExit gate on dictionary_item_added
+    (process.py:345-347). (Scalar TYPE conflicts are invisible to
+    Spark's permissive JSON inference -- it widens to string -- so the
+    detectable drift class is added fields, same as the reference.)"""
+    import json
+
+    from wikidata_pq_spark import datagen
+    from wikidata_pq_spark.operators import flatten
+
+    pdf = datagen.gen_entity_rows(10, seed=7)
+    claims = json.loads(pdf.loc[0, "claims"])
+    first = next(iter(claims.values()))[0]
+    first["mainsnak"]["zz_new_field"] = True
+    pdf.loc[0, "claims"] = json.dumps(claims)
+    with pytest.raises(schema_check.SchemaMismatch, match="zz_new_field"):
+        flatten.validate_entity_schemas(spark.createDataFrame(pdf))
+
+
+def test_map_declared_vs_struct_inferred_subset(spark):
+    """Dynamic-key rule directly: struct-of-keys inferred against a
+    declared map validates each key's value shape."""
+    from pyspark.sql import types as T
+
+    declared = T.MapType(
+        T.StringType(),
+        T.StructType([T.StructField("a", T.StringType()),
+                      T.StructField("n", T.DoubleType())]),
+    )
+    inferred_ok = T.StructType(
+        [T.StructField("k1", T.StructType([T.StructField("a", T.StringType())])),
+         T.StructField("k2", T.StructType([T.StructField("n", T.LongType())]))]
+    )
+    assert schema_check.validate_subset(inferred_ok, declared) == []
+    inferred_bad = T.StructType(
+        [T.StructField("k1", T.StructType([T.StructField("zz", T.BooleanType())]))]
+    )
+    assert schema_check.validate_subset(inferred_bad, declared)

@@ -339,3 +339,37 @@ def flatten_all(df: DataFrame) -> dict[str, DataFrame]:
         "links": flatten_links(df),
         "claims": flatten_claims(df),
     }
+
+
+# declared schema per JSON column, for the reference's
+# declare -> infer -> subset-validate discipline (process.py:336-347)
+DECLARED_COLUMN_SCHEMAS = {
+    "labels": LABELS_SCHEMA,
+    "descriptions": LABELS_SCHEMA,
+    "aliases": ALIASES_SCHEMA,
+    "sitelinks": SITELINKS_SCHEMA,
+    "claims": CLAIMS_SCHEMA,
+}
+
+
+def validate_entity_schemas(df: DataFrame, sample: int = 1000) -> None:
+    """Infer each JSON column's runtime schema from the data and
+    validate it is a SUBSET of the declared schema -- fatal on drift,
+    exactly the reference's per-file gate before flattening
+    (reference: process.py:336-347 SystemExit on unacceptable diff).
+    Dynamic-key maps (labels, claims, ...) infer as structs of observed
+    keys; schema_check validates each observed key's value shape
+    against the declared map value type.
+    """
+    from ..plans import schema_check
+
+    spark = df.sparkSession
+    for column, declared in DECLARED_COLUMN_SCHEMAS.items():
+        if column not in df.columns:
+            continue
+        inferred = schema_check.infer_json_schema(spark, df, column, sample)
+        problems = schema_check.validate_subset(inferred, declared)
+        if problems:
+            raise schema_check.SchemaMismatch(
+                f"schema drift in column '{column}': " + "; ".join(problems)
+            )

@@ -150,7 +150,10 @@ PARTITION_KEYS = {
 
 
 def partition_entity_tables(
-    entity_df: DataFrame, out_dir: str, source_name: str = "entities"
+    entity_df: DataFrame,
+    out_dir: str,
+    source_name: str = "entities",
+    validate: bool = True,
 ) -> dict[str, bool]:
     """The reference's PARTITION stage (reference: main.py:111-130 ->
     partitioning/core.py:38-58): flatten one entity frame into its five
@@ -164,6 +167,10 @@ def partition_entity_tables(
     """
     from .operators import flatten
 
+    if validate:
+        # the reference's per-file declare->infer->subset gate runs
+        # BEFORE any flattening (reference: process.py:336-347)
+        flatten.validate_entity_schemas(entity_df)
     tables = flatten.flatten_all(entity_df)
     results: dict[str, bool] = {}
     for name, tdf in tables.items():

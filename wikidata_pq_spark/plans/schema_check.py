@@ -36,6 +36,15 @@ def _is_subset(inferred: T.DataType, declared: T.DataType, path: str, problems: 
         _is_subset(inferred.keyType, declared.keyType, path + ".key", problems)
         _is_subset(inferred.valueType, declared.valueType, path + ".value", problems)
         return
+    # Dynamic-key JSON objects infer as a STRUCT of the observed keys;
+    # a declared MapType means "any key, this value shape" (the
+    # reference's map-vs-record unification, its genson map_threshold=0
+    # flag, process.py:62-68) -- validate every observed key's value
+    # against the declared map value type.
+    if isinstance(declared, T.MapType) and isinstance(inferred, T.StructType):
+        for f in inferred.fields:
+            _is_subset(f.dataType, declared.valueType, f"{path}.{f.name}", problems)
+        return
     # NullType infers when a column is all-null in the sample -- that is
     # the "field missing from data" case, always acceptable.
     if isinstance(inferred, T.NullType):
