@@ -137,3 +137,68 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     assert sorted(got["doc_id"]) == [0, 1, 3]
     assert got["digest"].nunique() == 3
+
+
+def _run_to_parquet(df, out_dir, ckpt, mode="append"):
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_session_window_counts(spark, tmp_path):
+    """Two bursts separated by > gap form two sessions per user."""
+    in_dir, out_dir, ckpt = str(tmp_path / "wi"), str(tmp_path / "wo"), str(tmp_path / "wc")
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00", "2026-01-01 00:05",      # session 1
+         "2026-01-01 02:00", "2026-01-01 02:10",      # session 2
+         "2026-01-01 09:00"]                           # watermark pusher
+    )
+    rows = pd.DataFrame(
+        {"user_id": [1, 1, 1, 1, 2], "event_id": range(5), "ts": ts,
+         "value": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    spark.createDataFrame(rows).coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, value double"
+    ).parquet(in_dir)
+    out = incremental.session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    _run_to_parquet(out, out_dir, ckpt)
+    got = spark.read.parquet(out_dir).toPandas()
+    u1 = got[got["user_id"] == 1].sort_values("session_start")
+    assert len(u1) == 2
+    assert u1["n_events"].tolist() == [2, 2]
+    assert u1["total_value"].tolist() == [3.0, 7.0]
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Purchase joins the prior click of the same user within 10 min;
+    out-of-window and cross-user purchases don't match."""
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    out_dir, ckpt = str(tmp_path / "jo"), str(tmp_path / "jc")
+    clicks = pd.DataFrame(
+        {"user_id": [1, 2], "event_id": [10, 20],
+         "ts": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:00"])}
+    )
+    purchases = pd.DataFrame(
+        {"user_id": [1, 1, 2], "event_id": [11, 12, 21],
+         "ts": pd.to_datetime(
+             ["2026-01-01 00:05",    # in window -> matches click 10
+              "2026-01-01 00:30",    # out of window
+              "2026-01-01 00:09"])}  # user 2 -> matches click 20
+    )
+    spark.createDataFrame(clicks).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(purchases).coalesce(1).write.parquet(pdir)
+    schema = "user_id long, event_id long, ts timestamp"
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    joined = incremental.stream_stream_join(cs, ps, within="10 minutes")
+    _run_to_parquet(joined, out_dir, ckpt)
+    got = spark.read.parquet(out_dir).toPandas()
+    pairs = set(zip(got["click_id"], got["purchase_id"]))
+    assert pairs == {(10, 11), (20, 21)}

@@ -724,6 +724,36 @@ def q_flatten_labels(spark, sf):
     return flatten.flatten_labels(spark.createDataFrame(er), "labels")
 
 
+def _chain_edges(spark, sf):
+    """Same closed-form chain edges as cc_components (blocks of 10
+    over customer keys) -- shared by the graph queries."""
+    c = load(spark, sf, "customer")
+    return c.filter(F.col("c_custkey") % 10 != 9).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
+    )
+
+
+def q_graph_degrees(spark, sf):
+    """KG degree query: out/in/total degree per node over the chain
+    edge set."""
+    from .operators import graph
+
+    return graph.degrees(_chain_edges(spark, sf))
+
+
+def q_graph_khop(spark, sf):
+    """KG 2-hop reachability from every block-head seed (bounded BFS
+    expansion as k equi-joins); oracle re-derives both hops in SQL."""
+    from .operators import graph
+
+    c = load(spark, sf, "customer")
+    seeds = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("node_id")
+    )
+    return graph.k_hop(_chain_edges(spark, sf), seeds, k=2)
+
+
 def q_connected_components(spark, sf):
     """Iterative CC with a closed-form SQL oracle: chain edges over
     customer keys form blocks of 10; canonical = block head."""
@@ -791,6 +821,8 @@ QUERIES = {
     "flatten_claims_fourbranch": q_flatten_claims,
     "flatten_labels_map": q_flatten_labels,
     "cc_components": q_connected_components,
+    "graph_degrees": q_graph_degrees,
+    "graph_khop": q_graph_khop,
 }
 
 # --------------------------------------------------------------------------
@@ -1145,6 +1177,33 @@ ORACLE_SQL = {
         SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS entity_id,
                'Q' || CAST((c_custkey // 10) * 10 AS VARCHAR) AS canonical_id
         FROM customer
+    """,
+    "graph_degrees": """
+        WITH e AS (SELECT 'Q'||CAST(c_custkey AS VARCHAR) AS s,
+                          'Q'||CAST(c_custkey+1 AS VARCHAR) AS d
+                   FROM customer WHERE c_custkey % 10 != 9),
+        o AS (SELECT s AS node_id, count(*) AS out_deg FROM e GROUP BY s),
+        i AS (SELECT d AS node_id, count(*) AS in_deg FROM e GROUP BY d)
+        SELECT coalesce(o.node_id, i.node_id) AS node_id,
+               coalesce(out_deg, 0) AS out_deg,
+               coalesce(in_deg, 0) AS in_deg,
+               coalesce(out_deg, 0) + coalesce(in_deg, 0) AS deg
+        FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+    """,
+    "graph_khop": """
+        WITH e AS (SELECT 'Q'||CAST(c_custkey AS VARCHAR) AS s,
+                          'Q'||CAST(c_custkey+1 AS VARCHAR) AS d
+                   FROM customer WHERE c_custkey % 10 != 9),
+        seeds AS (SELECT 'Q'||CAST(c_custkey AS VARCHAR) AS node
+                  FROM customer WHERE c_custkey % 100 = 0),
+        h1 AS (SELECT DISTINCT e.d AS node_id
+               FROM seeds JOIN e ON e.s = seeds.node),
+        h2 AS (SELECT DISTINCT e2.d AS node_id
+               FROM h1 JOIN e e2 ON e2.s = h1.node_id),
+        r AS (SELECT node_id, 1 AS hop FROM h1
+              UNION ALL SELECT node_id, 2 FROM h2)
+        SELECT node_id, CAST(min(hop) AS INTEGER) AS hop
+        FROM r GROUP BY node_id
     """,
     # -- LSH -> exact-verify compositions: the oracle re-verifies the
     # exported candidate set with DuckDB's own tokenizer / vector math

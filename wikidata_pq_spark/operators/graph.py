@@ -1,0 +1,78 @@
+"""Graph queries over the materialized KG (nodes/edges).
+
+Beyond canonicalization (connected components, canonicalize.py), a KG
+consumer needs neighborhood and degree queries. Both are plain
+DataFrame ops:
+
+- degrees: one groupBy per direction (map-side combined).
+- k_hop: k bounded equi-joins from a seed frontier -- the standard
+  distributed BFS expansion. The frontier is deduplicated per hop
+  (distinct), so fan-out is bounded by |reachable set| per hop, and k
+  is a small constant (2-4 in practice) -- never an unbounded loop at
+  query time. At 100 TB, edges bucketed by src (tableio's bucket
+  column / Iceberg bucket(N, subj)) make every hop a co-located join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -> DataFrame:
+    """(node_id, out_deg, in_deg, deg) -- full outer of the two
+    direction counts, nulls coalesced to 0."""
+    out_d = edges.groupBy(F.col(src).alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "node_id", "full_outer")
+        .select(
+            "node_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0))).alias(
+                "deg"
+            ),
+        )
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    directed: bool = True,
+) -> DataFrame:
+    """All nodes reachable from ``seeds(node_id)`` in 1..k hops, with
+    the minimum hop count: (node_id, hop).
+
+    Frontier expansion: hop h's frontier joins the edge table once; the
+    reached set accumulates with a min-hop union-aggregate. Seeds are
+    hop 0 and excluded from the output (reachability, not closure).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    e = e.distinct()
+
+    frontier = seeds.select(F.col("node_id").alias("_s")).distinct()
+    reached = frontier.select(F.col("_s").alias("node_id"), F.lit(0).alias("hop"))
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(e, "_s")
+            .select(F.col("_d").alias("node_id"))
+            .distinct()
+        )
+        reached = (
+            reached.union(nxt.select("node_id", F.lit(h).alias("hop")))
+            .groupBy("node_id")
+            .agg(F.min("hop").alias("hop"))
+        )
+        frontier = nxt.select(F.col("node_id").alias("_s"))
+    return reached.filter(F.col("hop") > 0)

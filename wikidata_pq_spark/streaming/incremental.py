@@ -80,6 +80,63 @@ def incremental_extract(
     )
 
 
+def session_window_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization: dynamic-gap session windows per key
+    (the streaming twin of temporal.sessionize -- state closes once the
+    watermark passes a session's end, so state is bounded)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), key)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "20 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to a prior click by
+    the same key within ``within`` (the streaming as-of-window shape).
+
+    Both sides carry watermarks and the join carries a time-range
+    condition -- the two requirements that let Spark bound each side's
+    state buffer (rows older than watermark + range are evicted).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col(key).alias("c_key"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col(key).alias("p_key"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_key") == F.col("p_key"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_key").alias(key), "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
 def streaming_dedup(
     docs_stream: DataFrame,
     text_col: str = "text",
