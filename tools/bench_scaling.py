@@ -332,6 +332,13 @@ in BENCH/scaling.json), and the SAME max-per-level estimator for both
 ceiling burns -- numerator and denominator sharpen symmetrically as
 reps accumulate.
 
+Note on history: early rounds reported a higher raw efficiency
+(0.765) because the 8-core cell had only steal-inflated windows
+(>=146 s at >=600 steal ticks); later clean windows (104 s at 86
+ticks) sharpened that minimum and LOWERED the ratio. That is the
+estimator converging, not a regression -- per-rep times and steal
+ticks for every cell are in BENCH/scaling.json for audit.
+
 Corpus: {n_convs} conversations x ~{mean_turns} mean turns
 ({r8["turns"]} turns, {r8["triples"]} distinct triples), deterministic
 seed 42, Zipf-skewed entities and conversation lengths.
