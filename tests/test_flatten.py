@@ -57,7 +57,7 @@ def golden_links(pdf):
 def _norm(v):
     import pandas as pd
 
-    if v is None or (isinstance(v, float) and pd.isna(v)):
+    if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
         return "NULL"
     if isinstance(v, float) and v == int(v):
         return str(int(v))

@@ -222,6 +222,11 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
                 dv["labels"] = {lang: f"label_{tgt}_{lang}" for lang in dv_langs}
             elif kind == "quantity":
                 dv["amount"] = float(rng.integers(1, 1000))
+                # ~50% of quantities carry bounds (reference:
+                # upperBound/lowerBound, process.py:128-129)
+                if rng.random() < 0.5:
+                    dv["upper_bound"] = dv["amount"] + float(rng.integers(1, 10))
+                    dv["lower_bound"] = dv["amount"] - float(rng.integers(1, 10))
                 if rng.random() < 0.5:
                     unit = f"Q{int(rng.integers(1, n + 1))}"
                     dv["unit"] = unit
@@ -258,6 +263,12 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
                 else:
                     dv["precision"] = {"precision__number": 0.000278}
                 dv["globe"] = "Q2"
+            elif kind == "time":
+                dv["value_str"] = f"+{int(rng.integers(1800, 2026))}-01-01T00:00:00Z"
+                dv["timezone"] = int(rng.choice([0, 60, -300]))
+                dv["before"] = int(rng.integers(0, 3))
+                dv["after"] = int(rng.integers(0, 3))
+                dv["calendarmodel"] = "Q1985727"
             else:
                 dv["value_str"] = f"{kind}_{qid}_{c}"
             claim = {

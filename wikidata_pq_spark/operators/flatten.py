@@ -65,6 +65,16 @@ DATAVALUE = T.StructType(
         T.StructField("value_str", T.StringType()),     # string/time/external-id/...
         T.StructField("amount", T.DoubleType()),        # quantity
         T.StructField("unit", T.StringType()),          # quantity unit entity
+        # quantity bounds (reference: upperBound/lowerBound strings,
+        # process.py:128-129; Spark collapses numerics to double)
+        T.StructField("upper_bound", T.DoubleType()),
+        T.StructField("lower_bound", T.DoubleType()),
+        # time datavalue extras (reference: process.py:130-134 --
+        # time stays a string in value_str; these ride alongside)
+        T.StructField("timezone", T.LongType()),
+        T.StructField("before", T.LongType()),
+        T.StructField("after", T.LongType()),
+        T.StructField("calendarmodel", T.StringType()),
         T.StructField("text", T.StringType()),          # monolingualtext
         T.StructField("language", T.StringType()),      # monolingualtext
         T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
@@ -200,9 +210,12 @@ _OUT_COLS = [
     ("id", "string"), ("property", "string"), ("datatype", "string"),
     ("rank", "string"), ("language", "string"), ("property_label", "string"),
     ("value_id", "string"), ("value_str", "string"), ("amount", "double"),
-    ("unit", "string"), ("datavalue_label", "string"),
+    ("unit", "string"), ("upper_bound", "double"), ("lower_bound", "double"),
+    ("datavalue_label", "string"),
     ("latitude", "double"), ("longitude", "double"), ("precision", "double"),
     ("globe", "string"),
+    ("timezone", "bigint"), ("before", "bigint"), ("after", "bigint"),
+    ("calendarmodel", "string"),
 ]
 # nested columns carried verbatim from the base through every branch
 _CARRY_COLS = ["qualifiers", "references"]
@@ -258,6 +271,8 @@ def _quantity_branch(base: DataFrame) -> DataFrame:
         "id", "property", "datatype", "rank", "_row_id",
         F.col("datavalue.amount").alias("amount"),
         F.col("datavalue.unit").alias("unit"),
+        F.col("datavalue.upper_bound").alias("upper_bound"),
+        F.col("datavalue.lower_bound").alias("lower_bound"),
         F.explode("property_labels").alias("language", "property_label"),
         *_CARRY_COLS,
     )
@@ -270,6 +285,8 @@ def _quantity_branch(base: DataFrame) -> DataFrame:
     dimless = q.filter(~has_unit).select(
         "id", "property", "datatype", "rank",
         F.col("datavalue.amount").alias("amount"),
+        F.col("datavalue.upper_bound").alias("upper_bound"),
+        F.col("datavalue.lower_bound").alias("lower_bound"),
         F.explode("property_labels").alias("language", "property_label"),
         *_CARRY_COLS,
     )
@@ -294,6 +311,10 @@ def _scalar_branch(base: DataFrame) -> DataFrame:
         F.col("datavalue.value_str").alias("value_str"),
         _widen("latitude"), _widen("longitude"), _widen("precision"),
         F.col("datavalue.globe").alias("globe"),
+        F.col("datavalue.timezone").alias("timezone"),
+        F.col("datavalue.before").alias("before"),
+        F.col("datavalue.after").alias("after"),
+        F.col("datavalue.calendarmodel").alias("calendarmodel"),
         F.explode("property_labels").alias("language", "property_label"),
         *_CARRY_COLS,
     )

@@ -110,8 +110,9 @@ GOLDEN_SCALAR_TYPES = [
 
 FLAT_CLAIM_COLUMNS = [
     "id", "property", "datatype", "rank", "language", "property_label",
-    "value_id", "value_str", "amount", "unit", "datavalue_label",
-    "latitude", "longitude", "precision", "globe",
+    "value_id", "value_str", "amount", "unit", "upper_bound", "lower_bound",
+    "datavalue_label", "latitude", "longitude", "precision", "globe",
+    "timezone", "before", "after", "calendarmodel",
     "n_qual_snaks", "n_ref_snaks",
 ]
 
@@ -170,14 +171,19 @@ def golden_flatten_claims(pdf: pd.DataFrame) -> pd.DataFrame:
                                  datavalue_label=labels[lang])
                 elif dt == "quantity":
                     ul = dv.get("unit_labels") or {}
+                    bounds = dict(
+                        upper_bound=dv.get("upper_bound"),
+                        lower_bound=dv.get("lower_bound"),
+                    )
                     if ul:
                         for lang, plab in plabels.items():
                             if lang in ul:
                                 emit(lang, plab, amount=dv.get("amount"),
-                                     unit=dv.get("unit"), datavalue_label=ul[lang])
+                                     unit=dv.get("unit"), datavalue_label=ul[lang],
+                                     **bounds)
                     else:
                         for lang, plab in plabels.items():
-                            emit(lang, plab, amount=dv.get("amount"))
+                            emit(lang, plab, amount=dv.get("amount"), **bounds)
                 elif dt == "monolingualtext":
                     lang = dv.get("language")
                     if lang in plabels:
@@ -188,10 +194,18 @@ def golden_flatten_claims(pdf: pd.DataFrame) -> pd.DataFrame:
                              latitude=_widen_coord(dv, "latitude"),
                              longitude=_widen_coord(dv, "longitude"),
                              precision=_widen_coord(dv, "precision"),
-                             globe=dv.get("globe"))
+                             globe=dv.get("globe"),
+                             timezone=dv.get("timezone"),
+                             before=dv.get("before"),
+                             after=dv.get("after"),
+                             calendarmodel=dv.get("calendarmodel"))
     out = pd.DataFrame(rows, columns=FLAT_CLAIM_COLUMNS)
-    for c in ("amount", "latitude", "longitude", "precision"):
+    for c in ("amount", "latitude", "longitude", "precision",
+              "upper_bound", "lower_bound"):
         out[c] = out[c].astype("float64")
+    # nullable int64 so the parquet type matches Spark's long columns
+    for c in ("timezone", "before", "after"):
+        out[c] = out[c].astype("Int64")
     for c in ("n_qual_snaks", "n_ref_snaks"):
         out[c] = out[c].astype("int64")
     return out
