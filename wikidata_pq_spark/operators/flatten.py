@@ -338,10 +338,25 @@ def _monolingual_branch(base: DataFrame) -> DataFrame:
     return _select_out(m.filter(F.col("property_label").isNotNull()))
 
 
-def flatten_claims(df: DataFrame) -> DataFrame:
+def flatten_claims(df: DataFrame, materialize_base: bool = True) -> DataFrame:
     """Four-branch claims flattening + diagonal concat
-    (reference: claims.py:198-213)."""
+    (reference: claims.py:198-213).
+
+    ``materialize_base``: the four branches are independent subtrees
+    over one shared base, and Spark has no common-subexpression reuse
+    across union branches -- unmaterialized, the expensive JSON parse +
+    double explode would run once PER BRANCH (4x; Catalyst also pushes
+    each branch's datatype filter below any shared exchange, defeating
+    ReusedExchange). A lazy ``localCheckpoint`` pins the parsed base so
+    it computes exactly once and every branch reads the materialized
+    blocks -- the Spark form of the reference sinking its base to disk
+    between stages, and the same lineage-truncation discipline as the
+    CC loop (canonicalize.py). Pass False to keep the pure-lazy plan
+    (e.g. when a caller materializes the base itself).
+    """
     base = _claims_base(df)
+    if materialize_base:
+        base = base.localCheckpoint(eager=False)
     out = (
         _wikibase_branch(base)
         .unionByName(_quantity_branch(base), allowMissingColumns=True)
