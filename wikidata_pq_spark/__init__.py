@@ -5,11 +5,15 @@ flattening (reference at /root/reference, read-only) as a
 transcript -> (subj, pred, obj) triple factory:
 
 - stable turn ordering per conversation (window sort),
-- batched mention detection + triple extraction in Arrow pandas UDFs
-  (``applyInPandas`` per conv_id group, no per-row Python),
+- mention detection + triple extraction: a pure-Catalyst regex
+  extractor by default (zero Python in the hot path), with an
+  Arrow-batched ``mapInPandas`` path (conversation carry, no per-row
+  Python) for rules Catalyst can't express,
 - entity linking via broadcast alias dictionary with salted fallback
   for hot entities,
-- canonicalization via connected components over same-as edges,
+- canonicalization via connected components over same-as edges
+  (driver union-find under a size threshold, distributed min-label
+  propagation + pointer jumping above; size-gated broadcast rewrite),
 - graph materialization as subject-hash-bucketed nodes/edges tables
   with per-partition lineage sidecars,
 - resumable per-partition checkpoints.
