@@ -169,3 +169,35 @@ def test_decode_real_is_stubbed(docs):
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(media)
+
+
+def test_resize_plan_box_fit(spark, docs):
+    from wikidata_pq_spark.operators import multimodal as mm
+
+    media = mm.attach_fake_media(docs)
+    out = mm.resize_plan(media).toPandas()
+    assert len(out) == docs.count()
+    # box fit: long edge == 224, aspect preserved under integer floor
+    for _, r in out.iterrows():
+        assert max(r["new_w"], r["new_h"]) == 224
+        if r["orig_w"] >= r["orig_h"]:
+            assert r["new_w"] == 224
+            assert r["new_h"] == max(1, (r["orig_h"] * 224) // r["orig_w"])
+        else:
+            assert r["new_h"] == 224
+
+
+def test_frame_sample_one_to_many(spark, docs):
+    from wikidata_pq_spark.operators import multimodal as mm
+
+    media = mm.attach_fake_media(docs)
+    out = mm.frame_sample(media, k=4, frame_bytes=8).toPandas()
+    # one-to-many fan-out, distinct frames, offsets consistent
+    per_doc = out.groupby("doc_id").size()
+    assert (per_doc >= 1).all() and (per_doc <= 4).all()
+    assert (out["byte_offset"] == out["frame_idx"] * 8).all()
+    dup = out.duplicated(subset=["doc_id", "frame_idx"]).any()
+    assert not dup
+    # long docs get the full k samples
+    long_doc = out[out["doc_id"] == 0]
+    assert len(long_doc) == 4

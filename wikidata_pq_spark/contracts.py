@@ -611,6 +611,21 @@ def q_media_features(spark, sf):
     return multimodal.decode_features(media)
 
 
+def q_media_resize(spark, sf):
+    """Aspect-preserving resize plan over binary payloads (stub decode,
+    real mapInPandas plumbing); oracle recomputes the dims + box-fit
+    integer math in SQL."""
+    media = multimodal.attach_fake_media(load(spark, sf, "documents"))
+    return multimodal.resize_plan(media)
+
+
+def q_media_frames(spark, sf):
+    """Frame-sampling plan (one payload -> <= k sampled frames, the
+    one-to-many batch shape); oracle re-derives frame geometry in SQL."""
+    media = multimodal.attach_fake_media(load(spark, sf, "documents"))
+    return multimodal.frame_sample(media, k=4, frame_bytes=32)
+
+
 # --------------------------------------------------------------------------
 # KG pipeline operators (the flagship; oracle where SQL-expressible)
 # --------------------------------------------------------------------------
@@ -815,6 +830,8 @@ QUERIES = {
     "text_quality_score": q_quality,
     "text_fingerprint": q_fingerprint,
     "mm_decode_features": q_media_features,
+    "mm_resize_plan": q_media_resize,
+    "mm_frame_sample": q_media_frames,
     "kg_extract_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
     "kg_triples_arrow": q_kg_triples_arrow,
@@ -1269,6 +1286,38 @@ ORACLE_SQL = {
                CAST(16 + (hv % 1024) AS INTEGER) AS fake_width,
                CAST(16 + ((hv // 1024) % 1024) AS INTEGER) AS fake_height
         FROM h
+    """,
+    "mm_resize_plan": """
+        WITH f AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+        h AS (SELECT doc_id,
+                CAST(list_sum(list_transform(
+                    regexp_extract_all(substr(checksum, 1, 8), '.'),
+                    (ch, i) -> (strpos('0123456789abcdef', ch) - 1)
+                               * (16 ** (8 - i)))) AS BIGINT) AS hv
+              FROM f),
+        d AS (SELECT doc_id,
+                CAST(16 + (hv % 1024) AS INTEGER) AS orig_w,
+                CAST(16 + ((hv // 1024) % 1024) AS INTEGER) AS orig_h
+              FROM h)
+        SELECT doc_id, orig_w, orig_h,
+               CAST(CASE WHEN orig_w >= orig_h THEN 224
+                    ELSE greatest((orig_w * 224) // orig_h, 1) END
+                    AS INTEGER) AS new_w,
+               CAST(CASE WHEN orig_w >= orig_h
+                    THEN greatest((orig_h * 224) // orig_w, 1)
+                    ELSE 224 END AS INTEGER) AS new_h
+        FROM d
+    """,
+    "mm_frame_sample": """
+        WITH g AS (SELECT doc_id,
+                          octet_length(encode(text)) // 32 + 1 AS n_frames
+                   FROM documents),
+        s AS (SELECT doc_id, (t.j * n_frames) // 4 AS frame_idx
+              FROM g, range(0, 4) t(j))
+        SELECT DISTINCT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 32 AS BIGINT) AS byte_offset
+        FROM s
     """,
     "ann_lsh_bucketed": f"""
         WITH bk AS (SELECT vec_id, bucket

@@ -75,6 +75,82 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batch, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, orig_w int, orig_h int, new_w int, new_h int"
+)
+
+RESIZE_TARGET = 224
+
+
+def resize_plan(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Aspect-preserving resize plan (Arrow-batched 'image op').
+
+    The decode is stubbed (dims derive deterministically from the
+    payload checksum, same as decode_features), but the Spark-side
+    shape is the real one: mapInPandas over binary, one output row per
+    image, integer box-fit math a real PIL body would replace. All
+    integer floor arithmetic so the SQL oracle reproduces it exactly.
+    """
+
+    def batch(it):
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                h32 = int(hashlib.md5(raw).hexdigest()[:8], 16)
+                w = 16 + (h32 % 1024)
+                h = 16 + ((h32 >> 10) % 1024)
+                if w >= h:
+                    nw, nh = target, max(1, (h * target) // w)
+                else:
+                    nw, nh = max(1, (w * target) // h), target
+                rows.append(
+                    {"doc_id": did, "orig_w": w, "orig_h": h, "new_w": nw, "new_h": nh}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batch, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, byte_offset long"
+
+
+def frame_sample(
+    media: DataFrame, k: int = 4, frame_bytes: int = 32
+) -> DataFrame:
+    """Evenly-spaced frame sampling plan (the video/audio windowing op).
+
+    One input payload fans out to <= k distinct sampled frames
+    (one-to-many mapInPandas -- the real batch shape of a frame
+    extractor); frame geometry derives from the payload length, so the
+    plumbing is deterministic and SQL-verifiable. A real decoder body
+    would replace the offset math with container parsing.
+    """
+
+    def batch(it):
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = len(raw) // frame_bytes + 1
+                seen = set()
+                for j in range(k):
+                    fi = (j * n_frames) // k
+                    if fi in seen:
+                        continue
+                    seen.add(fi)
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": fi,
+                            "byte_offset": fi * frame_bytes,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batch, FRAME_SCHEMA)
+
+
 def decode_real(media: DataFrame) -> DataFrame:
     """Real media decode -- requires PIL/librosa, absent in this image."""
     try:
