@@ -60,6 +60,19 @@ CHECKS = {
         [r"Generate", r"Union"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # bounded BFS: frontier equi-joins only, never a cartesian
+    "graph_khop": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # IVF: centroid assignment is a projection; candidate join is a
+    # broadcast of the (tiny) probe side onto the bucketed corpus
+    "ann_ivf": (
+        [r"BroadcastHashJoin", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # multimodal plans: Arrow mapInPandas, no joins at all
+    "mm_frame_sample": ([r"MapInPandas"], [r"Join"]),
 }
 
 
