@@ -769,6 +769,28 @@ def q_graph_khop(spark, sf):
     return graph.k_hop(_chain_edges(spark, sf), seeds, k=2)
 
 
+def q_partition_stage_audit(spark, sf):
+    """The reference's PARTITION stage end-to-end as a value check:
+    flatten all five tables, sink them Hive-partitioned with
+    per-(source x table) sidecars, post-check every sink, and return
+    the claims sidecar. Oracle: the per-language (rows, min_id, max_id)
+    recomputed over the INDEPENDENT golden flattener's parquet."""
+    import tempfile
+
+    from .pipeline import partition_entity_tables
+
+    er = _entity_rows(sf)
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.golden_flatten_claims(er), "flatten_claims_golden")
+    out = tempfile.mkdtemp(prefix="partition_stage_")
+    ok = partition_entity_tables(
+        spark.createDataFrame(er), out, source_name="contract"
+    )
+    if not all(ok.values()):
+        raise RuntimeError(f"partition-stage post-check failed: {ok}")
+    return spark.read.parquet(os.path.join(out, "audit", "claims", "contract"))
+
+
 def q_connected_components(spark, sf):
     """Iterative CC with a closed-form SQL oracle: chain edges over
     customer keys form blocks of 10; canonical = block head."""
@@ -837,6 +859,7 @@ QUERIES = {
     "kg_triples_arrow": q_kg_triples_arrow,
     "flatten_claims_fourbranch": q_flatten_claims,
     "flatten_labels_map": q_flatten_labels,
+    "partition_stage_audit": q_partition_stage_audit,
     "cc_components": q_connected_components,
     "graph_degrees": q_graph_degrees,
     "graph_khop": q_graph_khop,
@@ -1374,6 +1397,12 @@ ORACLE_SQL = {
     """,
     "flatten_claims_fourbranch": f"""
         SELECT * FROM read_parquet('{_export_path("flatten_claims_golden")}')
+    """,
+    "partition_stage_audit": f"""
+        SELECT 'contract' AS source, language, count(*) AS rows,
+               min(id) AS min_id, max(id) AS max_id
+        FROM read_parquet('{_export_path("flatten_claims_golden")}')
+        GROUP BY language
     """,
     # -- a genuine SQL recomputation of the labels map normalisation
     "flatten_labels_map": f"""
