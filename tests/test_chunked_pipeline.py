@@ -110,3 +110,36 @@ def test_chunks_partition_conversations(spark, spark_corpus):
         .filter("`approx_count_distinct(c)` > 1")
     )
     assert multi.count() == 0
+
+
+def test_staged_equals_filtered(spark, spark_corpus, tmp_path):
+    """stage_input (partition-pruned reads) and live filtering produce
+    identical triples; staging is itself resumable (skipped on re-run)."""
+    a = ChunkedKGPipeline(spark, str(tmp_path / "staged"), n_chunks=4)
+    a.run(
+        spark_corpus["transcripts"], spark_corpus["alias_dict"], spark_corpus["same_as"]
+    )
+    b = ChunkedKGPipeline(spark, str(tmp_path / "filtered"), n_chunks=4)
+    b.run(
+        spark_corpus["transcripts"],
+        spark_corpus["alias_dict"],
+        spark_corpus["same_as"],
+        stage_input=False,
+    )
+    assert _tset(a.triples()) == _tset(b.triples())
+    import os
+    import time
+
+    # staged dir exists with one partition per chunk
+    parts = sorted(os.listdir(str(tmp_path / "staged" / "staged")))
+    assert [p for p in parts if p.startswith("_chunk=")] == [
+        f"_chunk={i}" for i in range(4)
+    ]
+    # re-run: staging gate skips the write (mtime unchanged)
+    stamp = os.path.getmtime(str(tmp_path / "staged" / "staged"))
+    time.sleep(1.1)
+    a2 = ChunkedKGPipeline(spark, str(tmp_path / "staged"), n_chunks=4)
+    a2.run(
+        spark_corpus["transcripts"], spark_corpus["alias_dict"], spark_corpus["same_as"]
+    )
+    assert os.path.getmtime(str(tmp_path / "staged" / "staged")) == stamp

@@ -252,12 +252,22 @@ class ChunkedKGPipeline:
         alias_dict: DataFrame,
         same_as: DataFrame,
         fail_after_chunk: int | None = None,
+        stage_input: bool = True,
     ) -> dict:
         """Process all incomplete chunks; returns {chunk: rows} lineage.
 
         ``fail_after_chunk`` injects a crash after that chunk completes
         (for kill/resume tests -- the reference's resumability is
         exactly this property, DESIGN.md:119-129).
+
+        ``stage_input`` (default): write the corpus ONCE partitioned by
+        chunk, then each chunk is a partition-PRUNED read -- one pass
+        over the input instead of n_chunks filtered full scans. This is
+        exactly the at-scale shape (the chunk column IS the input
+        table's partition); in-sandbox it is realized as a one-time
+        staged write, itself a checkpointed idempotent stage (a resumed
+        run skips it). Pass False to filter the live DataFrame instead
+        (e.g. when the input is already partition-pruned upstream).
         """
         from .operators import canonicalize as canon_mod
         from .operators import extract as extract_mod
@@ -266,13 +276,25 @@ class ChunkedKGPipeline:
         comps = canon_mod.connected_components(same_as).localCheckpoint()
         chunked = transcripts.withColumn("_chunk", self.chunk_col(self.n_chunks))
 
+        if stage_input:
+            if self.state.gate("_staging", Step.COMPLETE):
+                chunked.write.mode("overwrite").partitionBy("_chunk").parquet(
+                    self.path("staged")
+                )
+                self.state.set("_staging", Step.COMPLETE)
+
         lineage: dict = {}
         units = [f"chunk_{i:05d}" for i in range(self.n_chunks)]
         for i, unit in enumerate(units):
             if not self.state.gate(unit, Step.COMPLETE):
                 lineage[i] = self.state.metrics(unit).get("rows")
                 continue
-            part = chunked.filter(F.col("_chunk") == i).drop("_chunk")
+            if stage_input:
+                part = self.spark.read.parquet(
+                    os.path.join(self.path("staged"), f"_chunk={i}")
+                )
+            else:
+                part = chunked.filter(F.col("_chunk") == i).drop("_chunk")
             mentions = extract_mod.extract_mentions(part)
             linked = linking_mod.link_mentions(mentions, alias_dict)
             triples = (
