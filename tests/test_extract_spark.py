@@ -44,3 +44,42 @@ def test_ordered_turns_sorted_within_conversation(spark_corpus):
 
     res = ordered.mapInPandas(check, "bad int").toPandas()
     assert res["bad"].sum() == 0
+
+
+def test_three_paths_equal_on_adversarial_text(spark):
+    """sql / partitions / grouped extraction are result-identical on
+    randomized adversarial text (multiple matches per turn, pronoun
+    chains and pronoun-first turns, empty/whitespace/punctuation text,
+    rule keywords split across turns) -- beyond the datagen templates."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    words = ["acme", "zorg", "belco", "it", "the", "plant", "x9", ""]
+    templates = [
+        "{a} was founded by {b} and {a} acquired {c}",   # two matches, one turn
+        "it was founded by {b}",                          # pronoun (maybe first turn)
+        "it acquired {c} it is located in {b}",           # double pronoun
+        "{a} works at {b}",
+        "   ",                                            # whitespace only
+        "was founded by",                                 # keyword, no operands
+        "{a} employs 42 people: {b}!",                    # punctuation adjacency
+        "{a} is the ceo of {b} is the ceo of {c}",        # overlapping phrases
+    ]
+    rows = []
+    for c in range(30):
+        for t in range(int(rng.integers(1, 7))):
+            tpl = templates[int(rng.integers(0, len(templates)))]
+            a, b, cc = (str(rng.choice(words)) for _ in range(3))
+            rows.append((f"c{c:03d}", t, tpl.format(a=a, b=b, c=cc)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    tdf = spark.createDataFrame(pdf)
+
+    results = {}
+    for method in ("sql", "partitions", "grouped"):
+        got = extract.extract_mentions(tdf, method=method).toPandas()
+        results[method] = sorted(map(tuple, got[KEYS].values))
+    assert results["sql"] == results["partitions"] == results["grouped"]
+    # and all equal the single-process oracle
+    golden = oracle.oracle_extract(pdf)
+    assert results["sql"] == sorted(map(tuple, golden[KEYS].values))
