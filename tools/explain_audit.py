@@ -73,6 +73,11 @@ CHECKS = {
     ),
     # multimodal plans: Arrow mapInPandas, no joins at all
     "mm_frame_sample": ([r"MapInPandas"], [r"Join"]),
+    # correlated scalar subquery must DECORRELATE to aggregate + joins
+    "q17_small_quantity": (
+        [r"HashAggregate", r"Join"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 

@@ -346,6 +346,39 @@ def q_region_revenue(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape: CORRELATED scalar subquery (per-part average
+    threshold). Authored as SQL so Catalyst's subquery DECORRELATION
+    does the rewrite (subquery -> aggregate + join) -- the optimizer
+    feature the reference never needed but a SQL surface must have."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+    load(spark, sf, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM v_lineitem, v_part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM v_lineitem l2
+              WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+def q_salted_join(spark, sf):
+    """Salted equi-join correctness in the gate: the bounded-replication
+    hot-key join must return EXACTLY the rows of the plain inner join
+    (oracle = plain SQL join) -- the skew strategy is a physical rewrite,
+    never a semantic one."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    out = linking.salted_equi_join(o, c, key="o_custkey", n_salt=8)
+    return out.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 def q_sql_api_revenue(spark, sf):
     """The SQL entry surface: same Catalyst plans as the DataFrame API
     (SURVEY §3 lifecycle note); monthly revenue by priority via
@@ -825,6 +858,8 @@ QUERIES = {
     "o3_sort_slice": q_slice,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
+    "q17_small_quantity": q17_small_quantity,
+    "j_salted_hot_keys": q_salted_join,
     "sql_api_revenue": q_sql_api_revenue,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
@@ -1024,6 +1059,20 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "q17_small_quantity": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey)
+    """,
+    "j_salted_hot_keys": """
+        SELECT c_nationkey, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
     """,
     "sql_api_revenue": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
