@@ -129,6 +129,34 @@ def test_claims_four_branches(sdf, entity_rows):
     assert (golden["n_qual_snaks"] > 0).any() and (golden["n_ref_snaks"] > 0).any()
 
 
+def test_quantity_missing_unit_labels_not_dropped(sdf, entity_rows):
+    """A quantity claim whose JSON omits unit_labels entirely must land
+    in the dimensionless branch, not vanish (null-safe has_unit gate:
+    from_json yields a NULL map, and `size(map_keys(NULL)) > 0` is NULL,
+    which fails BOTH filter(has_unit) and filter(~has_unit))."""
+    import json
+
+    # the fixture must exercise the absent-key path
+    n_absent = 0
+    for claims_json in entity_rows["claims"].dropna():
+        for clist in json.loads(claims_json).values():
+            for cl in clist:
+                dv = cl["mainsnak"]["datavalue"]
+                if cl["mainsnak"]["datatype"] == "quantity" and "unit_labels" not in dv:
+                    n_absent += 1
+    assert n_absent > 0, "fixture no longer exercises absent unit_labels"
+
+    fl = flatten.flatten_claims(sdf).filter("datatype = 'quantity'").toPandas()
+    from wikidata_pq_spark import oracle
+
+    golden = oracle.golden_flatten_claims(entity_rows)
+    gq = golden[golden["datatype"] == "quantity"]
+    # row-for-row parity on the quantity branch (the golden emits the
+    # absent-unit_labels rows; before the null-safe gate Spark dropped them)
+    assert len(fl) == len(gq)
+    assert (fl["datavalue_label"].isna()).any()
+
+
 def test_qualifiers_references_structure(sdf, entity_rows):
     """The qualifiers/references columns survive every branch with their
     full structure: per flattened row, the qualifier snak payloads match

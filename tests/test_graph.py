@@ -50,6 +50,33 @@ def test_k_hop_undirected(edges, spark):
     assert got == {"C": 1, "B": 2, "A": 2}
 
 
+def test_k_hop_cyclic_ring_chords_frontier_pruned(spark):
+    """Ring 0->1->...->7->0 plus chords 0->4, 2->6: results equal true
+    BFS min-hops AND each hop's frontier contains only never-seen
+    nodes (no re-expansion of finalized nodes on a cyclic graph)."""
+    ring = [(f"N{i}", f"N{(i + 1) % 8}") for i in range(8)]
+    chords = [("N0", "N4"), ("N2", "N6")]
+    edges = spark.createDataFrame(
+        pd.DataFrame(ring + chords, columns=["src_id", "dst_id"])
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"node_id": ["N0"]}))
+    sizes: list = []
+    got = dict(
+        graph.k_hop(edges, seeds, k=8, _frontier_sizes=sizes)
+        .toPandas()[["node_id", "hop"]]
+        .values
+    )
+    # true BFS distances from N0 with the chords
+    assert got == {
+        "N1": 1, "N4": 1, "N2": 2, "N5": 2, "N3": 3, "N6": 3, "N7": 4
+    }
+    # frontiers: {N1,N4},{N2,N5},{N3,N6},{N7}, then empty forever --
+    # without the anti-join prune the cycle re-expands old nodes and
+    # the frontier never drains
+    assert sizes == [2, 2, 2, 1, 0, 0, 0, 0]
+    assert sum(sizes) == 7  # every non-seed node expanded exactly once
+
+
 def test_k_hop_cycle_terminates(spark):
     cyc = spark.createDataFrame(
         pd.DataFrame([("X", "Y"), ("Y", "X")], columns=["src_id", "dst_id"])

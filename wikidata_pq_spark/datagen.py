@@ -236,8 +236,11 @@ def gen_entity_rows(n: int = 50, seed: int = 42) -> pd.DataFrame:
                         )
                     )
                     dv["unit_labels"] = {lang: f"ulabel_{unit}_{lang}" for lang in ul_langs}
-                else:
+                elif rng.random() < 0.5:
                     dv["unit_labels"] = {}
+                # else: key absent entirely -- from_json yields a NULL
+                # map; the flattener must treat it as dimensionless
+                # (null-safe has_unit gate, operators/flatten.py)
             elif kind == "monolingualtext":
                 lang = str(rng.choice(langs))
                 dv["text"] = f"mono_{qid}_{c}"

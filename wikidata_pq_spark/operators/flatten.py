@@ -260,7 +260,14 @@ def _quantity_branch(base: DataFrame) -> DataFrame:
     """Unit-ful vs dimensionless split on unit-labels emptiness
     (reference: claims.py:92-146, list.len()>0 predicate at 99)."""
     q = base.filter(F.col("datatype") == "quantity")
-    has_unit = F.size(F.map_keys(F.col("datavalue.unit_labels"))) > 0
+    # Null-safe: a JSON record may omit unit_labels entirely, in which
+    # case from_json yields a NULL map and a bare `size(...) > 0` is
+    # NULL -- failing BOTH branches and silently dropping the claim.
+    # Missing unit_labels means dimensionless (reference: claims.py:99
+    # treats list.len()==0 and absent identically).
+    has_unit = F.coalesce(
+        F.size(F.map_keys(F.col("datavalue.unit_labels"))) > 0, F.lit(False)
+    )
 
     unitful = q.filter(has_unit)
     lookup = unitful.select(

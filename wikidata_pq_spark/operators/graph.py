@@ -48,6 +48,7 @@ def k_hop(
     src: str = "src_id",
     dst: str = "dst_id",
     directed: bool = True,
+    _frontier_sizes: list | None = None,
 ) -> DataFrame:
     """All nodes reachable from ``seeds(node_id)`` in 1..k hops, with
     the minimum hop count: (node_id, hop).
@@ -69,10 +70,16 @@ def k_hop(
             .select(F.col("_d").alias("node_id"))
             .distinct()
         )
-        reached = (
-            reached.union(nxt.select("node_id", F.lit(h).alias("hop")))
-            .groupBy("node_id")
-            .agg(F.min("hop").alias("hop"))
-        )
-        frontier = nxt.select(F.col("node_id").alias("_s"))
+        # prune: a node whose min-hop is already final must not re-seed
+        # the next frontier -- on cyclic graphs the unpruned frontier
+        # re-joins the same nodes every hop, and the wasted edge-join
+        # volume grows with cycle density at scale. The anti-join keeps
+        # each node in exactly one frontier (its min-hop frontier),
+        # which is the textbook distributed-BFS invariant.
+        fresh = nxt.join(reached.select("node_id"), "node_id", "left_anti")
+        if _frontier_sizes is not None:  # test-only instrumentation
+            fresh = fresh.localCheckpoint()
+            _frontier_sizes.append(fresh.count())
+        reached = reached.union(fresh.select("node_id", F.lit(h).alias("hop")))
+        frontier = fresh.select(F.col("node_id").alias("_s"))
     return reached.filter(F.col("hop") > 0)
