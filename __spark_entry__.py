@@ -51,14 +51,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for EVERY query (no rows-only checks
-    left). Three oracle classes:
-    - plain ANSI recomputation over the testdata views (most queries);
-    - golden parquets computed by INDEPENDENT driver-side
-      implementations (pandas oracle pipeline / python golden
-      flattener) that the SQL re-reads (kg_*, flatten_claims);
-    - export-the-non-SQL-step: probabilistic/driver-side artifacts
-      (LSH candidate sets, minhash/simhash signatures, hyperplane
-      buckets, IVF cells+probes) are exported at the gate sf and the
-      SQL re-derives everything downstream -- joins, banding, Hamming,
-      cosine ranking, verify filters -- from scratch."""
+    left). Three oracle classes, by independence:
+
+    - FULLY INDEPENDENT (most queries): plain ANSI recomputation over
+      the testdata views; and the kg_*/flatten_claims goldens, which
+      are parquets computed by separate driver-side implementations
+      (pandas oracle pipeline / python golden flattener) that share no
+      code with the Spark path.
+    - EXPORTED-STEP (dedup_minhash_lsh, dedup_simhash, dedup_near_dup,
+      embedding_near_pairs, ann_lsh_bucketed, ann_ivf): the
+      probabilistic/driver-side artifact (minhash/simhash signatures,
+      LSH candidate sets, hyperplane buckets, IVF cells+probes) is
+      exported at the gate sf and TRUSTED by the SQL, which re-derives
+      everything downstream (banding, bucket joins, Hamming chunks,
+      cosine ranking, verify filters) from scratch. The trusted steps
+      are separately pinned by independent pure-python references in
+      tests/test_dedup_reference.py (own xxh64 + MinHash fold + SimHash
+      votes, bit-for-bit) and tests/test_similarity_textstats.py
+      (IVF full-probe == brute force; Arrow vs literal assignment
+      equality).
+    - STREAMING-ONLY ops have pytest coverage instead of SQL (none in
+      this dict)."""
     return dict(contracts.ORACLE_SQL)

@@ -143,3 +143,26 @@ def test_staged_equals_filtered(spark, spark_corpus, tmp_path):
         spark_corpus["transcripts"], spark_corpus["alias_dict"], spark_corpus["same_as"]
     )
     assert os.path.getmtime(str(tmp_path / "staged" / "staged")) == stamp
+
+
+def test_empty_chunks_survive_both_paths(spark, tmp_path):
+    """A tiny/skewed corpus leaves some chunks with zero conversations:
+    partitionBy writes no directory for them (staged path) and the
+    triples write is empty (both paths). The run must complete, record
+    rows=0 lineage for the empty chunks, and post_check must pass."""
+    from wikidata_pq_spark import datagen
+
+    tr = datagen.gen_transcripts(n_convs=3, mean_turns=6, n_entities=50)
+    tdf = spark.createDataFrame(tr)
+    adf = spark.createDataFrame(datagen.gen_entities(50))
+    sdf = spark.createDataFrame(datagen.gen_same_as(50))
+    results = {}
+    for staged in (True, False):
+        out = str(tmp_path / f"kg_{staged}")
+        pipe = ChunkedKGPipeline(spark, out, n_chunks=16)
+        lineage = pipe.run(tdf, adf, sdf, stage_input=staged)
+        assert len(lineage) == 16
+        assert sum(1 for v in lineage.values() if v == 0) > 0  # exercises empties
+        assert pipe.post_check()
+        results[staged] = _tset(pipe.triples())
+    assert results[True] == results[False] and len(results[True]) > 0

@@ -105,6 +105,68 @@ def test_verify_cosine_on_given_candidates(emb, spark):
     assert set(zip(out["a_id"], out["b_id"])) == {(0, 1)}
 
 
+def test_quantizer_arrow_path_matches_literal_path(emb, monkeypatch):
+    """The two assignment paths (inlined Catalyst literals vs
+    broadcast-matrix Arrow UDF) must agree bucket-for-bucket and
+    cell-for-cell on the same input (fixed seed -> deterministic)."""
+    df, vecs = emb
+    import pyspark.sql.functions as F
+
+    planes = similarity._planes(8, 4, seed=42)
+    cents = similarity._spherical_kmeans(vecs.astype(np.float64), n_cells=4)
+
+    def run():
+        b = df.select(
+            "vec_id", similarity.lsh_bucket_col(F.col("embedding"), planes).alias("b")
+        ).toPandas().set_index("vec_id")["b"]
+        c = df.select(
+            "vec_id",
+            similarity._nearest_cells_col(F.col("embedding"), cents, 2).alias("c"),
+        ).toPandas().set_index("vec_id")["c"].map(tuple)
+        return b, c
+
+    lit_b, lit_c = run()
+    monkeypatch.setattr(similarity, "LITERAL_ASSIGN_BUDGET", 0)
+    udf_b, udf_c = run()
+    assert (lit_b == udf_b).all()
+    assert (lit_c == udf_c).all()
+
+
+def test_quantizer_large_plan_builds_bounded(emb):
+    """A production-sized quantizer (256 cells x 300 dims > the literal
+    budget) must route to the Arrow path: plan construction stays
+    bounded (literals would inline ~77k floats) and the query runs."""
+    import time
+
+    df, _ = emb
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((256, 300))
+    # pad the 8-dim fixture vectors to 300 dims JVM-side
+    wide = df.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(0.0)] * 292),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    out = wide.select(
+        "vec_id",
+        similarity._nearest_cells_col(F.col("embedding"), cents, 3).alias("cells"),
+    )
+    build_sec = time.time() - t0
+    assert build_sec < 5.0, f"plan construction took {build_sec:.1f}s"
+    pdf = out.toPandas()
+    assert pdf["cells"].map(len).eq(3).all()
+    # verify one row against numpy
+    v = np.array(pdf.merge(wide.toPandas(), on="vec_id").iloc[0]["embedding"])
+    sims = v @ cents.T
+    exp = list(np.argsort(-sims, kind="stable")[:3])
+    assert list(pdf.iloc[0]["cells"]) == exp
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [

@@ -76,3 +76,46 @@ def test_state_store_incomplete_ordering(tmp_path):
 def test_iceberg_seam_detection(spark):
     """No Iceberg catalog configured in this sandbox -> parquet path."""
     assert tableio.iceberg_available(spark) is False
+
+
+def test_iceberg_seam_routing(spark, tmp_path, monkeypatch):
+    """The storage seam routes on catalog presence: parquet fallback
+    with no catalog; with a (mock) spark.sql.catalog.* conf set, the
+    Iceberg writeTo branch is taken. The real Iceberg write needs the
+    iceberg-spark runtime jar (absent in-sandbox), so that call is
+    monkeypatched -- the routing decision and call shape are what this
+    pins down."""
+    df = _df(spark, 20)
+    # fallback branch writes real partitioned parquet
+    dest = str(tmp_path / "t")
+    assert tableio.write_table(df, dest, ["part"]) == "parquet"
+    assert spark.read.parquet(dest).count() == 20
+
+    calls = {}
+    monkeypatch.setattr(
+        tableio,
+        "_write_iceberg",
+        lambda d, ident, parts, mode="overwrite": calls.update(
+            ident=ident, parts=parts, mode=mode
+        ),
+    )
+    spark.conf.set("spark.sql.catalog.sandbox", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert tableio.iceberg_available(spark) is True
+        assert tableio.write_table(df, "sandbox.db.t", ["part"]) == "iceberg"
+        assert calls == {"ident": "sandbox.db.t", "parts": ["part"], "mode": "overwrite"}
+    finally:
+        spark.conf.unset("spark.sql.catalog.sandbox")
+    assert tableio.iceberg_available(spark) is False
+
+
+def test_write_with_audit_empty_frame(spark, tmp_path):
+    """An all-empty partitioned write (no part files, bare _SUCCESS)
+    must produce an empty sidecar and a passing post-check, not an
+    UNABLE_TO_INFER_SCHEMA crash -- the empty-chunk shape a skewed
+    corpus hash produces in ChunkedKGPipeline."""
+    df = _df(spark, 10).filter(F.lit(False))
+    path = str(tmp_path / "empty")
+    tableio.write_with_audit(df, path, ["part"], id_col="id")
+    assert spark.read.parquet(path + "_audit").count() == 0
+    assert tableio.post_check(spark, path, ["part"], "id") is True

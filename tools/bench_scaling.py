@@ -264,15 +264,22 @@ def main() -> None:
         eff = all_runs[method]["efficiency"]
         effn = all_runs[method]["efficiency_vs_hw_ceiling"]
         effm = all_runs[method]["efficiency_vs_mem_ceiling"]
+        # Pre-registered pass threshold: >= 0.8 of the measured CPU-only
+        # ceiling. The memory-bandwidth ceiling is reported as CONTEXT
+        # for why a streaming job on one memory controller lands below
+        # it -- it does NOT convert a below-target run into a PASS
+        # (the gate's meaning must not shift with the host model).
         if effn >= 0.8:
             verdict = "PASS (>= 0.8 of the CPU-only ceiling)"
         elif eff >= hw["mem_ceiling_8_to_32"]:
             verdict = (
-                f"PASS within the attainable band: {effm:.1f}x the "
-                f"memory-bandwidth ceiling, {effn:.2f} of the CPU-only "
-                "ceiling -- a data-streaming job on ONE memory "
-                "controller cannot reach the CPU burn's scaling (see "
-                "ceiling analysis above)"
+                f"BELOW TARGET (attainable-band): {effn:.2f} of the "
+                f"CPU-only ceiling vs the 0.8 pre-registered threshold; "
+                f"{effm:.1f}x the memory-bandwidth ceiling. On this "
+                "overcommitted single box a data-streaming job cannot "
+                "reach the CPU burn's scaling (see ceiling analysis "
+                "above); re-verify the 0.8 criterion on a real N->4N "
+                "multi-executor cluster."
             )
         else:
             verdict = "FAIL (below even the memory-bandwidth ceiling)"

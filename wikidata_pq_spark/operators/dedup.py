@@ -144,12 +144,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def tokenized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, toks): whitespace token arrays -- the shared upstream of
+    every token-derived dedup stage (shingles for MinHash, distinct
+    sets for the exact-Jaccard verify). Compositions that need both
+    (near_dup_pairs) compute this ONCE and persist it, so the corpus
+    text is scanned and split a single time."""
+    return df.select(
+        F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("toks")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 32,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>): distributed MinHash, fully JVM-side.
 
@@ -161,9 +173,10 @@ def minhash_signatures(
     whose expression tree re-evaluates the shingle array per hash
     function (measured ~30x slower).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(TX.shingles(TX.tokens(F.col(text_col)), n)).alias("shingle"),
+    src = tokens_df if tokens_df is not None else tokenized(df, text_col, id_col)
+    sh = src.select(
+        "id",
+        F.explode(TX.shingles(F.col("toks"), n)).alias("shingle"),
     ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("h"))
     mins = [
         F.min(
@@ -183,6 +196,7 @@ def minhash_lsh_candidates(
     n_bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding candidate pairs (a_id < b_id, with band evidence).
 
@@ -191,7 +205,9 @@ def minhash_lsh_candidates(
     pair generation is linear in bucket sizes, never corpus-quadratic.
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(df, n_hashes=n_hashes, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(
+        df, n_hashes=n_hashes, text_col=text_col, id_col=id_col, tokens_df=tokens_df
+    )
     bands = sig.select(
         "id",
         F.posexplode(
@@ -221,14 +237,25 @@ def minhash_lsh_candidates(
     )
 
 
-def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _token_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
     """(id, toks sorted distinct-token array, n) -- shared by the exact
     Jaccard computations. String tokens (not hashes) so the verify stage
     is bit-exact against a SQL oracle."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(TX.distinct_tokens(F.col(text_col))).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    if tokens_df is not None:
+        base = tokens_df.select(
+            "id", F.array_sort(F.array_distinct(F.col("toks"))).alias("toks")
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(TX.distinct_tokens(F.col(text_col))).alias("toks"),
+        )
+    return base.withColumn("n", F.size("toks"))
 
 
 def verify_jaccard_pairs(
@@ -237,6 +264,7 @@ def verify_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify stage over candidate pairs (a_id, b_id).
 
@@ -246,7 +274,7 @@ def verify_jaccard_pairs(
     given the candidate set, so it oracle-checks exactly even when the
     candidate generator is probabilistic.
     """
-    base = _token_sets(df, text_col, id_col)
+    base = _token_sets(df, text_col, id_col, tokens_df=tokens_df)
     a = base.select(
         F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("n").alias("a_n")
     )
@@ -281,12 +309,23 @@ def near_dup_pairs(
     the true duplicate count. With 32 hashes / 8 bands the banding
     S-curve puts >99% recall at jaccard 0.8. Never a corpus-quadratic
     self-join.
+
+    The corpus text is tokenized ONCE: the token-array frame is
+    persisted and shared by the signature path (shingles) and both
+    legs of the verify join -- without it the text is scanned and
+    re-split three times. MEMORY_AND_DISK so Spark can evict under
+    pressure (the blocks are droppable, lineage recomputes).
     """
+    from pyspark import StorageLevel
+
+    tok = tokenized(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(
-        df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col, id_col=id_col
+        df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col,
+        id_col=id_col, tokens_df=tok,
     )
     return verify_jaccard_pairs(
-        df, cands, threshold=threshold, text_col=text_col, id_col=id_col
+        df, cands, threshold=threshold, text_col=text_col, id_col=id_col,
+        tokens_df=tok,
     )
 
 

@@ -22,6 +22,7 @@ no Python, and bitwise-reproducible for the DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -63,17 +64,54 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+# Above this many floats (rows x dim), quantizer assignment switches
+# from inlined Catalyst literals to a broadcast-matrix Arrow UDF: a
+# production quantizer (4096 cells x 768 dims ~ 3M floats) inlined as
+# expression literals explodes plan construction / codegen, while the
+# Arrow path ships the matrix once per executor and does one BLAS
+# matmul per batch.
+LITERAL_ASSIGN_BUDGET = 65536
+
+
+def _broadcast_matrix(mat: "np.ndarray"):
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    return sess.sparkContext.broadcast(mat) if sess is not None else None
+
+
 def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Signature bucket id = sign bits of dot(vec, plane_j)."""
-    bits = [
-        F.when(VX.dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << j))
-        .otherwise(F.lit(0))
-        for j, p in enumerate(planes)
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out.cast("int")
+    """Signature bucket id = sign bits of dot(vec, plane_j).
+
+    Small plane sets inline as Catalyst literals (whole-stage codegen,
+    bit-exact vs the SQL oracle); past LITERAL_ASSIGN_BUDGET floats the
+    assignment runs as a vectorized Arrow UDF over a broadcast plane
+    matrix -- same sign rule, O(batch x planes) BLAS."""
+    P = np.asarray(planes, dtype=np.float64)
+    if P.size <= LITERAL_ASSIGN_BUDGET:
+        bits = [
+            F.when(VX.dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << j))
+            .otherwise(F.lit(0))
+            for j, p in enumerate(planes)
+        ]
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out.cast("int")
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _broadcast_matrix(P)
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mat = bc.value if bc is not None else P
+        x = np.array(v.tolist(), dtype=np.float64)
+        bits = x @ mat.T >= 0
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return _bucket(vec_col)
 
 
 def lsh_topk(
@@ -210,18 +248,40 @@ def _spherical_kmeans(
 
 def _nearest_cells_col(vec_col, cents: np.ndarray, n_probe: int):
     """array<int> of the n_probe nearest centroid indices (by dot on
-    the raw vector -- cosine order is norm-invariant per row)."""
-    scored = F.array(
-        *[
-            F.struct(
-                VX.dot(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-                F.lit(j).alias("cell"),
-            )
-            for j, c in enumerate(cents)
-        ]
-    )
-    top = F.slice(F.array_sort(scored, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(a["cell"] - b["cell"])), 1, n_probe)
-    return F.transform(top, lambda s: s["cell"])
+    the raw vector -- cosine order is norm-invariant per row).
+
+    Same two-path split as lsh_bucket_col: Catalyst literals for small
+    centroid tables (bit-exact, codegen'd), broadcast-matrix Arrow UDF
+    past LITERAL_ASSIGN_BUDGET floats (ties broken by cell index
+    ascending on both paths)."""
+    C = np.asarray(cents, dtype=np.float64)
+    if C.size <= LITERAL_ASSIGN_BUDGET:
+        scored = F.array(
+            *[
+                F.struct(
+                    VX.dot(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        top = F.slice(F.array_sort(scored, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(a["cell"] - b["cell"])), 1, n_probe)
+        return F.transform(top, lambda s: s["cell"])
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _broadcast_matrix(C)
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        mat = bc.value if bc is not None else C
+        x = np.array(v.tolist(), dtype=np.float64)
+        sims = x @ mat.T
+        # stable argsort on -sim == sim desc, ties -> lower cell first
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return _cells(vec_col)
 
 
 def ivf_topk(

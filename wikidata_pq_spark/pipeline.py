@@ -290,9 +290,16 @@ class ChunkedKGPipeline:
                 lineage[i] = self.state.metrics(unit).get("rows")
                 continue
             if stage_input:
-                part = self.spark.read.parquet(
-                    os.path.join(self.path("staged"), f"_chunk={i}")
-                )
+                # partitionBy writes NO directory for an empty chunk
+                # (possible under a skewed conv_id hash at small n):
+                # treat a missing chunk dir as an empty partition
+                # instead of crashing on PATH_NOT_FOUND, and fall
+                # through so the unit is marked COMPLETE with rows=0.
+                chunk_dir = os.path.join(self.path("staged"), f"_chunk={i}")
+                if os.path.isdir(chunk_dir):
+                    part = self.spark.read.parquet(chunk_dir)
+                else:
+                    part = chunked.filter(F.lit(False)).drop("_chunk")
             else:
                 part = chunked.filter(F.col("_chunk") == i).drop("_chunk")
             mentions = extract_mod.extract_mentions(part)
@@ -313,8 +320,9 @@ class ChunkedKGPipeline:
                 source=("chunk", i),
                 audit_path=self._audit_path(i),
             )
-            # sidecar's rows total = the lineage row count
-            n = self.spark.read.parquet(chunk_dir).count()
+            # sidecar's rows total = the lineage row count (explicit
+            # schema so an empty chunk's bare _SUCCESS dir reads as 0)
+            n = self.spark.read.schema(triples.schema).parquet(chunk_dir).count()
             self.state.set(unit, Step.COMPLETE, rows=n)
             lineage[i] = n
             if fail_after_chunk is not None and i >= fail_after_chunk:
