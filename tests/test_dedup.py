@@ -131,3 +131,36 @@ def test_simhash_deterministic(docs):
     a = dedup.simhash64(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
     b = dedup.simhash64(docs).toPandas().sort_values("doc_id")["simhash"].tolist()
     assert a == b
+
+
+def test_chunk_dup_spans(spark):
+    rows = [
+        (0, "a b c d e f g h i j"),   # chunk(4): "a b c d","e f g h","i j"
+        (1, "a b c d x y z w i j"),   # shares chunk 0 text "a b c d"
+        (2, "q r s t u v"),           # unique chunks
+        (3, "a b c d e f g h i j"),   # exact dup of 0 -> all 3 chunks dup
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.chunk_dup_spans(df, width=4).toPandas()
+    # "a b c d" in docs 0,1,3 (chunk 0); "i j" in 0,1,3 (chunk 2);
+    # "e f g h" in 0,3 only
+    by_occ = sorted(out["n_occurrences"])
+    assert by_occ == [2, 3, 3]
+    assert sorted(out["n_docs"]) == [2, 3, 3]
+    # survivor = lexicographic (doc_id, chunk_idx) min -> always doc 0
+    assert set(out["keep_doc_id"]) == {0}
+    assert sorted(out["keep_chunk_idx"]) == [0, 1, 2]
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(pd.DataFrame(
+        [(1, "alpha beta gamma delta"),      # shares "alpha beta gamma" x2 grams
+         (2, "unrelated words entirely here"),
+         (3, "beta gamma delta epsilon")],
+        columns=["doc_id", "text"]))
+    eval_df = spark.createDataFrame(pd.DataFrame(
+        [(100, "alpha beta gamma delta epsilon")], columns=["doc_id", "text"]))
+    out = dedup.ngram_contamination(corpus, eval_df, n=3).toPandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    # doc1 grams: {a b g, b g d} both in eval; doc3: {b g d, g d e} both in eval
+    assert got == {1: 2, 3: 2}

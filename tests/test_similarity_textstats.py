@@ -263,3 +263,16 @@ def test_frame_sample_one_to_many(spark, docs):
     # long docs get the full k samples
     long_doc = out[out["doc_id"] == 0]
     assert len(long_doc) == 4
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, "x y z x y z x y z"),   # 7 3-grams, 3 distinct -> ratio 1-3/7
+         (1, "a b c d"),             # 2 3-grams, both distinct -> 0.0
+         (2, "a b")],                # too short -> 0 grams, ratio 0.0
+        columns=["doc_id", "text"]))
+    out = textstats.repetition_stats(df, n=3).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_ngrams"] == 7 and out.loc[0, "n_distinct"] == 3
+    assert abs(out.loc[0, "rep_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
+    assert out.loc[1, "rep_ratio"] == 0.0
+    assert out.loc[2, "n_ngrams"] == 0 and out.loc[2, "rep_ratio"] == 0.0

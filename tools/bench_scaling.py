@@ -286,10 +286,10 @@ def main() -> None:
         return f"""
 ### method={method}
 
-| parallelism | wall sec (min of reps) | reps | triples/sec | turns/sec |
+| parallelism | wall sec (min of reps) | n reps | triples/sec | turns/sec |
 |---|---|---|---|---|
-| local[8]  (N)  | {r8["sec"]} | {r8["reps"]} | {r8["triples_per_sec"]} | {r8["turns_per_sec"]} |
-| local[32] (4N) | {r32["sec"]} | {r32["reps"]} | {r32["triples_per_sec"]} | {r32["turns_per_sec"]} |
+| local[8]  (N)  | {r8["sec"]} | {len(r8["reps"])} | {r8["triples_per_sec"]} | {r8["turns_per_sec"]} |
+| local[32] (4N) | {r32["sec"]} | {len(r32["reps"])} | {r32["triples_per_sec"]} | {r32["turns_per_sec"]} |
 
 Scaling efficiency (T_4N/T_N)/4 = **{eff:.3f}** raw;
 **{effn:.3f}** of the CPU-only ceiling; **{effm:.1f}x** the

@@ -81,12 +81,26 @@ CHECKS = {
 }
 
 
+def _flatten_claims_raw(spark, sf):
+    """The contract query memoizes the flattened frame behind a
+    localCheckpoint (its audited plan would be a bare RDD scan); audit
+    the underlying four-branch flatten plan instead -- that is the
+    plan shape the check is about."""
+    from wikidata_pq_spark.operators import flatten
+
+    er = contracts._entity_rows(sf)
+    return flatten.flatten_claims(spark.createDataFrame(er))
+
+
+BUILDERS = {"flatten_claims_fourbranch": _flatten_claims_raw}
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
     failures = 0
     for name, (must, must_not) in CHECKS.items():
-        df = contracts.QUERIES[name](spark, sf)
+        df = BUILDERS.get(name, contracts.QUERIES[name])(spark, sf)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )

@@ -890,6 +890,38 @@ def q_connected_components(spark, sf):
     return canonicalize.connected_components(edges)
 
 
+def q_chunk_dup_spans(spark, sf):
+    """Passage-level exact dedup: non-overlapping 16-token chunks,
+    duplicated chunk texts with occurrence counts and the survivor
+    (doc_id, chunk_idx); oracle re-derives chunking + grouping in SQL."""
+    from .operators import dedup
+
+    return dedup.chunk_dup_spans(load(spark, sf, "documents"), width=16)
+
+
+def q_decontaminate_ngrams(spark, sf):
+    """Benchmark decontamination: eval set = doc_id % 97 == 0 (stand-in
+    benchmark table), corpus = the rest; (doc_id, n_hits) for corpus
+    docs sharing any 3-gram with an eval doc. Eval n-gram set is tiny
+    -> broadcast join, one corpus pass."""
+    from .operators import dedup
+
+    docs = load(spark, sf, "documents")
+    return dedup.ngram_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+def q_repetition_ratio(spark, sf):
+    """Within-doc duplicate-3-gram fraction (Gopher-style repetition
+    quality gate); pure Catalyst."""
+    from .operators import textstats
+
+    return textstats.repetition_stats(load(spark, sf, "documents"), n=3)
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries of this dict. The flagship KG/flatten/partition/graph queries
 # lead so they sit inside that hard-signal window; redundant relational
@@ -961,6 +993,9 @@ QUERIES = {
     "f6_math_round": q_math_round,
     "x_pivot_status": q_pivot_status,
     "u2_union_distinct": q_union_distinct,
+    "dedup_chunk_spans": q_chunk_dup_spans,
+    "x_decontaminate_ngrams": q_decontaminate_ngrams,
+    "text_repetition_ratio": q_repetition_ratio,
 }
 
 # --------------------------------------------------------------------------
@@ -1520,6 +1555,43 @@ ORACLE_SQL = {
                min(id) AS min_id, max(id) AS max_id
         FROM read_parquet('{_export_path("flatten_claims_golden")}')
         GROUP BY language
+    """,
+    # -- passage dedup / decontamination / repetition: full SQL
+    #    recomputations (chunking, shingling, joins all re-derived)
+    "dedup_chunk_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        c AS (SELECT doc_id,
+                     unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS chunk_idx,
+                     unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)),
+                            i -> array_to_string(toks[i*16+1 : i*16+16], ' '))) AS chunk_text
+              FROM t WHERE len(toks) > 0)
+        SELECT md5(chunk_text) AS digest,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(min(doc_id * 1048576 + chunk_idx) // 1048576 AS BIGINT) AS keep_doc_id,
+               CAST(min(doc_id * 1048576 + chunk_idx) % 1048576 AS INTEGER) AS keep_chunk_idx
+        FROM c GROUP BY 1 HAVING count(*) > 1
+    """,
+    "x_decontaminate_ngrams": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+                            i -> array_to_string(toks[i:i+2], ' ')))) AS g
+              FROM t),
+        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        corpus AS (SELECT * FROM g WHERE doc_id % 97 != 0)
+        SELECT corpus.doc_id AS doc_id, count(DISTINCT corpus.g) AS n_hits
+        FROM corpus JOIN ev USING (g) GROUP BY 1
+    """,
+    "text_repetition_ratio": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1,1)),
+                    i -> array_to_string(toks[i:i+2], ' ')) AS sh FROM t)
+        SELECT doc_id, len(sh) AS n_ngrams, len(list_distinct(sh)) AS n_distinct,
+               CASE WHEN len(sh) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)/len(sh), 6)
+                    ELSE 0.0 END AS rep_ratio
+        FROM s
     """,
     # -- a genuine SQL recomputation of the labels map normalisation
     "flatten_labels_map": f"""

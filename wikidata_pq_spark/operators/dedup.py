@@ -18,6 +18,10 @@ Families, ordered by cost:
   (bit-level ops aren't expressible as array functions without 64
   nested lambdas -- the sanctioned Arrow slow path); pairing via
   Hamming-chunk banding, never a quadratic join.
+- chunk_dup_spans: passage-level exact dedup (non-overlapping token
+  chunks -> digest groupBy), the post-document-dedup boilerplate sweep.
+- ngram_contamination: benchmark decontamination (corpus n-grams vs a
+  broadcast eval n-gram set), the eval-leakage gate before training.
 """
 
 from __future__ import annotations
@@ -411,4 +415,90 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
         .distinct()
+    )
+
+
+def chunk_dup_spans(
+    df: DataFrame,
+    width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level exact dedup: split each document into
+    non-overlapping ``width``-token chunks and return every chunk text
+    that occurs more than once in the corpus:
+    (digest, n_occurrences, n_docs, keep_doc_id, keep_chunk_idx), with
+    the survivor = lexicographic (doc_id, chunk_idx) minimum.
+
+    The passage variant of exact dedup a training pipeline runs AFTER
+    document-level dedup (boilerplate/quote removal). 100 TB shape:
+    explode is linear in corpus tokens; the only shuffle is the
+    groupBy on the chunk digest (~32 B/row), same scale class as
+    :func:`exact_dup_groups`. Composite keep key = doc_id * 2^20 +
+    chunk_idx keeps the survivor pick a plain MIN aggregate (docs are
+    capped well under 2^20 chunks).
+    """
+    tok = tokenized(df, text_col, id_col)
+    n_chunks = F.ceil(F.size("toks") / width).cast("int")
+    chunks = tok.select(
+        "id",
+        F.posexplode(
+            F.when(F.size("toks") <= 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * width + 1, width), " "
+                    ),
+                )
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    agg = (
+        chunks.groupBy(F.md5("chunk_text").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min(F.col("id") * (1 << 20) + F.col("chunk_idx")).alias("_keep"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+    return agg.select(
+        "digest",
+        "n_occurrences",
+        "n_docs",
+        (F.col("_keep") / (1 << 20)).cast("long").alias("keep_doc_id"),
+        F.pmod(F.col("_keep"), F.lit(1 << 20)).cast("int").alias("keep_chunk_idx"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hits) for every corpus
+    document sharing at least one n-gram with any eval/benchmark
+    document; n_hits = count of DISTINCT contaminated n-grams.
+
+    The standard eval-leakage sweep before training: the eval n-gram
+    set is tiny relative to the corpus, so it broadcasts and the scan
+    stays one pass over the corpus (explode distinct shingles ->
+    broadcast semi-ish inner join -> count distinct). Corpus documents
+    that ARE eval documents are the caller's business to exclude
+    (pass a corpus with them filtered out).
+    """
+    grams = lambda d: d.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
+        ).alias("g"),
+    )
+    ev = grams(eval_df).select("g").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(ev), "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.countDistinct("g").alias("n_hits"))
     )

@@ -91,3 +91,25 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         TX.rolling_fingerprint(TX.tokens(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style duplicate
+    n-gram fraction used to filter low-quality training text):
+    (id, n_ngrams, n_distinct, rep_ratio) with
+    rep_ratio = 1 - distinct/total n-grams (0.0 for docs shorter than
+    n tokens). Pure Catalyst -- shingle array, array_distinct, sizes."""
+    sh = TX.shingles(TX.tokens(F.col(text_col)), n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    ratio = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )
