@@ -119,11 +119,26 @@ def ngram_jaccard_pairs(
     corpus scale run it on LSH candidates (near_dup_pairs already uses
     shingle-based signatures, so its verify threshold transfers).
     """
+    # two-step projection: tokens land in a real column BEFORE the
+    # shingle transform, so the split runs once per row -- shingles'
+    # slice lambda references the token array, and an inline
+    # composition re-evaluates the split PER SHINGLE (the same
+    # nested-lambda recompute trap minhash_signatures avoids; measured
+    # ~8x on the documents table). Shingles are hashed to int64 like
+    # token_jaccard_pairs hashes tokens: set sizes/intersections are
+    # identical (64-bit collisions negligible) and long-array
+    # intersects beat string-array intersects ~20x in the pair loop.
     base = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+        TX.tokens(F.col(text_col)).alias("toks"),
+    ).select(
+        "id",
+        "blk",
         F.array_sort(
-            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
+            F.array_distinct(
+                F.transform(TX.shingles(F.col("toks"), n), lambda s: F.xxhash64(s))
+            )
         ).alias("sh"),
     ).withColumn("nsh", F.size("sh"))
     a = base.select(
@@ -489,11 +504,14 @@ def ngram_contamination(
     that ARE eval documents are the caller's business to exclude
     (pass a corpus with them filtered out).
     """
+    # two-step: tokens materialized per row before the shingle lambda
+    # (inline composition re-splits the text per shingle -- ~8x slower)
     grams = lambda d: d.select(  # noqa: E731
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), n))
-        ).alias("g"),
+        TX.tokens(F.col(text_col)).alias("toks"),
+    ).select(
+        "id",
+        F.explode(F.array_distinct(TX.shingles(F.col("toks"), n))).alias("g"),
     )
     ev = grams(eval_df).select("g").distinct()
     return (

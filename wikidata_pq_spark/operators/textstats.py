@@ -100,14 +100,18 @@ def repetition_stats(
     n-gram fraction used to filter low-quality training text):
     (id, n_ngrams, n_distinct, rep_ratio) with
     rep_ratio = 1 - distinct/total n-grams (0.0 for docs shorter than
-    n tokens). Pure Catalyst -- shingle array, array_distinct, sizes."""
-    sh = TX.shingles(TX.tokens(F.col(text_col)), n)
+    n tokens). Pure Catalyst -- shingle array, array_distinct, sizes.
+    Tokens are projected to a column before the shingle transform so
+    the split runs once per row (not once per shingle)."""
+    sh = TX.shingles(F.col("toks"), n)
     total = F.size(sh)
     distinct = F.size(F.array_distinct(sh))
     ratio = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(
         F.lit(0.0)
     )
     return df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
+    ).select(
         F.col(id_col),
         total.alias("n_ngrams"),
         distinct.alias("n_distinct"),
