@@ -81,3 +81,50 @@ def test_hot_keys_histogram(spark_corpus):
     hk = linking.hot_keys(_mentions(spark_corpus), "subj_mention", top_n=10).toPandas()
     assert len(hk) <= 10
     assert hk["count"].is_monotonic_decreasing
+
+
+def test_fuzzy_link_typos_and_determinism(spark):
+    """Char-trigram ER: truncated/typo'd mentions re-link to the right
+    entity; exact strings score 1.0; ties break deterministically."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from wikidata_pq_spark.operators import linking
+
+    adf = spark.createDataFrame(pd.DataFrame({
+        "alias": ["wikidata", "wikipedia", "sparkle", "sparkles"],
+        "entity_id": ["Q1", "Q2", "Q3", "Q3"],
+    }))
+    mdf = spark.createDataFrame(pd.DataFrame({
+        "mention": ["wikidata", "ikidata", "sparkle", "qqqqq"],
+    }))
+    out = linking.fuzzy_link_mentions(mdf, adf, threshold=0.4).toPandas()
+    got = {r["mention"]: (r["entity_id"], r["sim"]) for _, r in out.iterrows()}
+    assert got["wikidata"] == ("Q1", 1.0)
+    assert got["ikidata"][0] == "Q1"          # truncation still links
+    assert got["sparkle"][0] == "Q3"
+    assert "qqqqq" not in got                  # nothing shared -> no link
+    # exactly one row per linked mention (argmax, not all candidates)
+    assert out["mention"].is_unique
+
+
+def test_fuzzy_link_df_cap_prunes_hot_grams(spark):
+    """df_cap drops dictionary postings for grams above the document-
+    frequency cap (common-gram pruning): with cap=1 the gram shared by
+    ALL aliases stops generating candidates on its own."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import linking
+
+    adf = spark.createDataFrame(pd.DataFrame({
+        # every alias contains 'xyz'; only the first also shares 'abc'
+        "alias": ["abcxyz", "defxyz", "ghixyz"],
+        "entity_id": ["Q1", "Q2", "Q3"],
+    }))
+    mdf = spark.createDataFrame(pd.DataFrame({"mention": ["abcqqq"]}))
+    free = linking.fuzzy_link_mentions(mdf, adf, threshold=0.0).toPandas()
+    assert set(free["entity_id"]) == {"Q1"}  # best match via 'abc'
+    capped = linking.fuzzy_link_mentions(mdf, adf, threshold=0.0, df_cap=1).toPandas()
+    # 'abc' grams have df 1 (survive); 'xyz' grams df 3 (pruned) --
+    # Q1 still reachable through its rare grams
+    assert set(capped["entity_id"]) == {"Q1"}

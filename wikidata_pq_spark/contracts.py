@@ -922,6 +922,27 @@ def q_repetition_ratio(spark, sf):
     return textstats.repetition_stats(load(spark, sf, "documents"), n=3)
 
 
+def q_fuzzy_link(spark, sf):
+    """Approximate entity linking (char-trigram ER): mentions are the
+    alias dictionary's entries deterministically truncated (first char
+    dropped, len >= 6), re-linked through the trigram inverted index +
+    Jaccard argmax. Oracle: full SQL recomputation (perturbation,
+    trigram sets, blocking join, scoring, argmax) over the exported
+    alias-dict INPUT table."""
+    from .operators import linking
+
+    tr, ents, sa = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(
+            ents[["alias", "entity_id"]].drop_duplicates(), "alias_dict_input"
+        )
+    adf = spark.createDataFrame(ents)
+    mentions = adf.filter(F.length("alias") >= 6).select(
+        F.expr("substring(alias, 2, length(alias))").alias("mention")
+    )
+    return linking.fuzzy_link_mentions(mentions, adf, threshold=0.4)
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries of this dict. The flagship KG/flatten/partition/graph queries
 # lead so they sit inside that hard-signal window; redundant relational
@@ -996,6 +1017,7 @@ QUERIES = {
     "dedup_chunk_spans": q_chunk_dup_spans,
     "x_decontaminate_ngrams": q_decontaminate_ngrams,
     "text_repetition_ratio": q_repetition_ratio,
+    "kg_fuzzy_link": q_fuzzy_link,
 }
 
 # --------------------------------------------------------------------------
@@ -1592,6 +1614,39 @@ ORACLE_SQL = {
                     THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)/len(sh), 6)
                     ELSE 0.0 END AS rep_ratio
         FROM s
+    """,
+    # -- fuzzy ER linking: full SQL recomputation over the exported
+    #    alias-dict INPUT (perturbation, trigram blocking, argmax)
+    "kg_fuzzy_link": f"""
+        WITH al0 AS (SELECT DISTINCT alias, entity_id
+                     FROM read_parquet('{_export_path("alias_dict_input")}')),
+        men0 AS (SELECT DISTINCT substr(alias, 2) AS mention
+                 FROM al0 WHERE length(alias) >= 6),
+        m AS (SELECT mention, lower(mention) AS s FROM men0),
+        mset AS (SELECT mention,
+                        CASE WHEN length(s) < 3 THEN [s]
+                             ELSE list_distinct(list_transform(range(1, length(s)-1),
+                                                i -> substr(s, i, 3))) END AS grams
+                 FROM m),
+        mg AS (SELECT mention, len(grams) AS n_m, unnest(grams) AS g FROM mset),
+        a0 AS (SELECT alias, entity_id, lower(alias) AS s FROM al0),
+        aset AS (SELECT alias, entity_id,
+                        CASE WHEN length(s) < 3 THEN [s]
+                             ELSE list_distinct(list_transform(range(1, length(s)-1),
+                                                i -> substr(s, i, 3))) END AS grams
+                 FROM a0),
+        ag AS (SELECT alias, entity_id, len(grams) AS n_a, unnest(grams) AS g FROM aset),
+        sh AS (SELECT mention, alias, entity_id, count(*) AS shared,
+                      min(n_m) AS n_m, min(n_a) AS n_a
+               FROM mg JOIN ag USING (g) GROUP BY 1, 2, 3),
+        sc AS (SELECT mention, entity_id, alias,
+                      round(CAST(shared AS DOUBLE) / (n_m + n_a - shared), 6) AS sim
+               FROM sh
+               WHERE round(CAST(shared AS DOUBLE) / (n_m + n_a - shared), 6) >= 0.4),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY mention
+                      ORDER BY sim DESC, entity_id ASC, alias ASC) AS r
+               FROM sc)
+        SELECT mention, entity_id, alias, sim FROM rk WHERE r = 1
     """,
     # -- a genuine SQL recomputation of the labels map normalisation
     "flatten_labels_map": f"""

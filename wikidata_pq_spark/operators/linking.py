@@ -96,6 +96,102 @@ def link_mentions(
     return out.select("subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx")
 
 
+def char_ngram_set(s_col, n: int = 3):
+    """Distinct character n-grams of a (pre-lowered) string column;
+    strings shorter than n contribute themselves as the single gram.
+    The column passed in should be an ATTRIBUTE (projected first), not
+    an inline expression -- the substring lambda references it per
+    gram (the nested-lambda recompute rule used across this repo)."""
+    length = F.length(s_col)
+    idx = F.sequence(F.lit(1), length - (n - 1))
+    return F.when(length < n, F.array(s_col)).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: s_col.substr(i, F.lit(n))))
+    )
+
+
+def fuzzy_link_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    mention_col: str = "mention",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Approximate entity linking for mentions the exact alias join
+    misses (typos, truncations): character-trigram similarity, the
+    pg_trgm-style ER pattern.
+
+    Plan shape (the classic entity-resolution blocking pipeline):
+
+    1. trigram sets per side (distinct char n-grams, lowered);
+    2. inverted-index candidate generation -- explode grams on both
+       sides and equi-join on the gram, so only pairs sharing at least
+       one trigram ever meet (never mention x dictionary cartesian);
+    3. score WITHOUT array intersects: |shared| = count of joined gram
+       rows per (mention, alias) (grams are distinct per side), so
+       jaccard = shared / (n_m + n_a - shared) is pure counting;
+    4. deterministic best match per mention: max jaccard, ties broken
+       by (entity_id, alias) ascending; keep jaccard >= threshold.
+
+    Returns (mention, entity_id, alias, sim).
+
+    100 TB: the dictionary side is index-sized (broadcastable); the
+    mention side streams through one explode + one shuffle on the gram.
+    Hot grams (vowel-heavy trigrams are the stopwords of ER blocking)
+    are the skew risk: ``df_cap`` drops dictionary postings whose gram
+    document-frequency exceeds the cap -- standard common-gram pruning;
+    recall only suffers for pairs sharing NOTHING rarer.
+    """
+    m = (
+        mentions.select(F.col(mention_col).alias("mention"))
+        .distinct()
+        .select("mention", F.lower(F.col("mention")).alias("_s"))
+        .select("mention", char_ngram_set(F.col("_s"), n).alias("grams"))
+        .select("mention", "grams", F.size("grams").alias("n_m"))
+    )
+    a = (
+        alias_dict.select("alias", "entity_id")
+        .distinct()
+        .select("alias", "entity_id", F.lower(F.col("alias")).alias("_s"))
+        .select("alias", "entity_id", char_ngram_set(F.col("_s"), n).alias("grams"))
+        .select("alias", "entity_id", "grams", F.size("grams").alias("n_a"))
+    )
+    mg = m.select("mention", "n_m", F.explode("grams").alias("g"))
+    ag = a.select("alias", "entity_id", "n_a", F.explode("grams").alias("g"))
+    if df_cap is not None:
+        from pyspark.sql import Window
+
+        gram_df = Window.partitionBy("g")
+        ag = ag.withColumn("_df", F.count(F.lit(1)).over(gram_df)).filter(
+            F.col("_df") <= df_cap
+        ).drop("_df")
+    shared = (
+        mg.join(ag, "g")
+        .groupBy("mention", "alias", "entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("n_m").alias("n_m"),
+            F.first("n_a").alias("n_a"),
+        )
+    )
+    scored = shared.withColumn(
+        "sim",
+        F.round(
+            F.col("shared") / (F.col("n_m") + F.col("n_a") - F.col("shared")), 6
+        ),
+    ).filter(F.col("sim") >= threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mention").orderBy(
+        F.desc("sim"), F.asc("entity_id"), F.asc("alias")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("mention", "entity_id", "alias", "sim")
+    )
+
+
 def hot_keys(df: DataFrame, key: str, top_n: int = 100) -> DataFrame:
     """Frequency histogram of join keys (skew evidence; reference:
     plot_language_hist.py:12 value_counts analogue)."""
