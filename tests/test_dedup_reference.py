@@ -155,3 +155,23 @@ def test_simhash_matches_pure_python(docs):
     pdf = docs.toPandas()
     exp = {r["doc_id"]: _ref_simhash(r["text"]) for _, r in pdf.iterrows()}
     assert got == exp
+
+
+def test_pure_python_xxh64_matches_spark_random_strings(spark):
+    """Broader hash validation: 300 deterministic pseudo-random strings
+    (varied lengths 0..120, full printable alphabet incl. multi-byte
+    UTF-8) hashed identically by the python reference and Spark."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _-.,!?éü中"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"s": samples}))
+    got = df.select("s", F.xxhash64("s").alias("h")).toPandas()
+    for s, h in zip(got["s"], got["h"]):
+        assert xxh64(s.encode()) == h, repr(s)

@@ -85,3 +85,20 @@ def test_k_hop_cycle_terminates(spark):
     got = dict(graph.k_hop(cyc, seeds, k=3).toPandas()[["node_id", "hop"]].values)
     # X re-reached at hop 2 but seeds are hop 0 -> min-hop keeps 0, excluded
     assert got == {"Y": 1}
+
+
+def test_triple_support(spark):
+    rows = [
+        ("Q1", "likes", "Q2", "c1", 3),
+        ("Q1", "likes", "Q2", "c1", 7),
+        ("Q1", "likes", "Q2", "c0", 9),
+        ("Q3", "knows", "Q4", "c2", 1),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx"])
+    )
+    out = graph.triple_support(t).toPandas().set_index("subj")
+    assert out.loc["Q1", "n_support"] == 3 and out.loc["Q1", "n_convs"] == 2
+    # first sighting = lexicographic (conv_id, turn_idx) min
+    assert out.loc["Q1", "first_conv"] == "c0" and out.loc["Q1", "first_turn"] == 9
+    assert out.loc["Q3", "n_support"] == 1 and out.loc["Q3", "first_turn"] == 1

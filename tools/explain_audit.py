@@ -78,6 +78,23 @@ CHECKS = {
         [r"HashAggregate", r"Join"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # decontamination: eval n-gram set broadcast onto one corpus pass
+    "x_decontaminate_ngrams": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas"],
+    ),
+    # passage dedup: explode + digest groupBy only, no joins at all
+    "dedup_chunk_spans": ([r"Generate", r"HashAggregate"], [r"Join"]),
+    # fuzzy ER: inverted-index equi-join + argmax window, no cartesian
+    "kg_fuzzy_link": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # provenance rollup on the Python-free default chain
+    "kg_triple_support": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 

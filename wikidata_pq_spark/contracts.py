@@ -922,6 +922,17 @@ def q_repetition_ratio(spark, sf):
     return textstats.repetition_stats(load(spark, sf, "documents"), n=3)
 
 
+def q_triple_support(spark, sf):
+    """Provenance rollup over the full KG chain's triples: support
+    count, distinct source conversations, first sighting per (subj,
+    pred, obj). Oracle: the same rollup in SQL over the INDEPENDENT
+    pandas pipeline's golden triples parquet (window argmin for the
+    first sighting)."""
+    from .operators import graph
+
+    return graph.triple_support(_kg_triples_query(spark, sf, method="sql"))
+
+
 def q_fuzzy_link(spark, sf):
     """Approximate entity linking (char-trigram ER): mentions are the
     alias dictionary's entries deterministically truncated (first char
@@ -1018,6 +1029,7 @@ QUERIES = {
     "x_decontaminate_ngrams": q_decontaminate_ngrams,
     "text_repetition_ratio": q_repetition_ratio,
     "kg_fuzzy_link": q_fuzzy_link,
+    "kg_triple_support": q_triple_support,
 }
 
 # --------------------------------------------------------------------------
@@ -1614,6 +1626,24 @@ ORACLE_SQL = {
                     THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)/len(sh), 6)
                     ELSE 0.0 END AS rep_ratio
         FROM s
+    """,
+    # -- provenance rollup re-derived in SQL over the independent
+    #    golden triples (counts + window argmin for first sighting)
+    "kg_triple_support": f"""
+        WITH t AS (SELECT subj, pred, obj, conv_id, turn_idx
+                   FROM read_parquet('{_export_path("kg_triples_golden")}')),
+        c AS (SELECT subj, pred, obj, count(*) AS n_support,
+                     count(DISTINCT conv_id) AS n_convs
+              FROM t GROUP BY 1, 2, 3),
+        f AS (SELECT subj, pred, obj, conv_id AS first_conv,
+                     turn_idx AS first_turn,
+                     row_number() OVER (PARTITION BY subj, pred, obj
+                         ORDER BY conv_id, turn_idx) AS r
+              FROM t)
+        SELECT c.subj, c.pred, c.obj, c.n_support, c.n_convs,
+               f.first_conv, f.first_turn
+        FROM c JOIN f ON c.subj = f.subj AND c.pred = f.pred AND c.obj = f.obj
+        WHERE f.r = 1
     """,
     # -- fuzzy ER linking: full SQL recomputation over the exported
     #    alias-dict INPUT (perturbation, trigram blocking, argmax)

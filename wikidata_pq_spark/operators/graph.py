@@ -83,3 +83,29 @@ def k_hop(
         reached = reached.union(fresh.select("node_id", F.lit(h).alias("hop")))
         frontier = fresh.select(F.col("node_id").alias("_s"))
     return reached.filter(F.col("hop") > 0)
+
+
+def triple_support(triples: DataFrame) -> DataFrame:
+    """Evidence aggregation over the materialized triple stream:
+    one row per distinct (subj, pred, obj) with its support count,
+    number of distinct source conversations, and the first sighting
+    (lexicographic min (conv_id, turn_idx) -- deterministic).
+
+    The provenance rollup a KG consumer ranks assertions by (the
+    reference's per-table audit counts, reference: core.py:25-35,
+    lifted from storage partitions to semantic triples). One hash
+    aggregate on the triple key; min(struct) keeps first-sighting
+    selection inside the same pass."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_support"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("_first"),
+        )
+        .select(
+            "subj", "pred", "obj", "n_support", "n_convs",
+            F.col("_first.conv_id").alias("first_conv"),
+            F.col("_first.turn_idx").alias("first_turn"),
+        )
+    )
