@@ -182,3 +182,109 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def merge_triple_support(
+    batch: DataFrame, out_dir: str, n_buckets: int = 16
+) -> None:
+    """Merge one batch of (subj, pred, obj, conv_id, turn_idx) triples
+    into a bucketed running support table -- the hand-rolled parquet
+    analogue of Iceberg MERGE INTO:
+
+    1. aggregate the batch per triple key (support count, first
+       sighting, and an HLL sketch of conv_ids -- count-distinct is
+       NOT mergeable across batches, sketches are; the standard
+       streaming-rollup trick);
+    2. dirty buckets = the batch keys' subject-hash buckets (bounded
+       by n_buckets -- the collect is metadata-sized);
+    3. read ONLY the dirty buckets of the existing table
+       (partition-pruned), union with the batch aggregate, re-reduce
+       (sum counts, min first sighting, hll_union);
+    4. dynamic partition-overwrite writes back exactly the dirty
+       buckets -- committed clean buckets are never rewritten, so an
+       at-least-once retry of the epoch is idempotent.
+
+    At 10^12 turns: per-batch work is proportional to the batch plus
+    the touched buckets, never the whole table.
+    """
+    import os
+
+    from ..sources import tableio
+
+    spark = batch.sparkSession
+    agg = (
+        batch.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_support"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("_first"),
+            F.hll_sketch_agg("conv_id").alias("conv_hll"),
+        )
+        .select(
+            "subj", "pred", "obj", "n_support",
+            F.col("_first.conv_id").alias("first_conv"),
+            F.col("_first.turn_idx").alias("first_turn"),
+            "conv_hll",
+        )
+        .withColumn("bucket", tableio.bucket_column("subj", n_buckets))
+    )
+    dirty = sorted(r[0] for r in agg.select("bucket").distinct().collect())
+    existing_dirs = [
+        f"{out_dir}/bucket={b}" for b in dirty
+        if os.path.isdir(f"{out_dir}/bucket={b}")
+    ]
+    merged = agg
+    if existing_dirs:
+        old = spark.read.option("basePath", out_dir).parquet(*existing_dirs)
+        merged = (
+            agg.unionByName(old)
+            .groupBy("subj", "pred", "obj", "bucket")
+            .agg(
+                F.sum("n_support").alias("n_support"),
+                F.min(F.struct("first_conv", "first_turn")).alias("_first"),
+                F.hll_union_agg("conv_hll").alias("conv_hll"),
+            )
+            .select(
+                "subj", "pred", "obj", "n_support",
+                F.col("_first.first_conv").alias("first_conv"),
+                F.col("_first.first_turn").alias("first_turn"),
+                "conv_hll", "bucket",
+            )
+        )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def read_triple_support(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The running support table with the HLL estimate materialized:
+    (subj, pred, obj, n_support, n_convs_est, first_conv, first_turn)."""
+    return spark.read.parquet(out_dir).select(
+        "subj", "pred", "obj", "n_support",
+        F.hll_sketch_estimate("conv_hll").cast("long").alias("n_convs_est"),
+        "first_conv", "first_turn",
+    )
+
+
+def incremental_triple_support(
+    stream_triples: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Streaming wrapper: foreachBatch(merge_triple_support) with an
+    availableNow trigger -- each micro-batch of linked triples merges
+    into the bucketed running rollup; the streaming checkpoint resumes
+    a killed job at the next uncommitted batch."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_triple_support(batch_df, out_dir, n_buckets=n_buckets)
+
+    return (
+        stream_triples.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
