@@ -164,3 +164,27 @@ def test_ngram_contamination(spark):
     got = dict(zip(out["doc_id"], out["n_hits"]))
     # doc1 grams: {a b g, b g d} both in eval; doc3: {b g d, g d e} both in eval
     assert got == {1: 2, 3: 2}
+
+
+def test_curate_corpus_composition(spark):
+    """Composed curation: dup drops non-survivors, gates drop
+    low-quality/repetitive docs, split labels are deterministic."""
+    from wikidata_pq_spark.operators import curation
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en"),
+        (1, "the quick brown fox jumps over the lazy dog today", "en"),  # dup of 0
+        (2, "x y x y x y x y x y x y x y x y x y x y", "en"),            # repetitive
+        (3, "a clean and quite different piece of text for the corpus", "en"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    out = curation.curate_corpus(df, quality_min=0.0, rep_max=0.5).toPandas()
+    ids = set(out["doc_id"])
+    assert 1 not in ids          # dedup survivor is doc 0
+    assert 0 in ids and 3 in ids
+    assert 2 not in ids          # repetition gate
+    # determinism: identical text -> identical split
+    again = curation.curate_corpus(df, quality_min=0.0, rep_max=0.5).toPandas()
+    assert out.sort_values("doc_id").values.tolist() == \
+        again.sort_values("doc_id").values.tolist()
+    assert set(out["split"]) <= {"train", "val", "test"}

@@ -922,6 +922,15 @@ def q_repetition_ratio(spark, sf):
     return textstats.repetition_stats(load(spark, sf, "documents"), n=3)
 
 
+def q_curate_corpus(spark, sf):
+    """The composed curation flow: exact-dedup survivors + quality
+    gate + repetition gate + deterministic content-hash split labels,
+    in ONE declarative plan. Oracle recomposes every stage in SQL."""
+    from .operators import curation
+
+    return curation.curate_corpus(load(spark, sf, "documents"), quality_min=0.45)
+
+
 def q_triple_support(spark, sf):
     """Provenance rollup over the full KG chain's triples: support
     count, distinct source conversations, first sighting per (subj,
@@ -1030,6 +1039,7 @@ QUERIES = {
     "text_repetition_ratio": q_repetition_ratio,
     "kg_fuzzy_link": q_fuzzy_link,
     "kg_triple_support": q_triple_support,
+    "x_curate_corpus": q_curate_corpus,
 }
 
 # --------------------------------------------------------------------------
@@ -1626,6 +1636,38 @@ ORACLE_SQL = {
                     THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)/len(sh), 6)
                     ELSE 0.0 END AS rep_ratio
         FROM s
+    """,
+    # -- composed curation flow: every stage recomposed in SQL
+    "x_curate_corpus": f"""
+        WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+        surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        q AS (SELECT doc_id,
+                round(0.25*least(len(toks)/100.0, 1.0)
+                    + 0.25*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks))
+                    + 0.25*(CAST({_stop_hits('en')} AS DOUBLE)/len(toks))
+                    + 0.25*(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                            / length(text)), 6) AS quality
+              FROM t),
+        sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1,1)),
+                    i -> array_to_string(toks[i:i+2], ' ')) AS g FROM t),
+        r AS (SELECT doc_id,
+                CASE WHEN len(g) > 0
+                     THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)/len(g), 6)
+                     ELSE 0.0 END AS rep_ratio
+              FROM sh),
+        s AS (SELECT doc_id, lang,
+                CASE WHEN substr(md5(text),1,1) IN
+                         ('0','1','2','3','4','5','6','7','8','9','a','b')
+                     THEN 'train'
+                     WHEN substr(md5(text),1,1) IN ('c','d') THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents)
+        SELECT s.doc_id, s.lang, s.split, q.quality, r.rep_ratio
+        FROM s
+        JOIN surv USING (doc_id)
+        JOIN q ON q.doc_id = s.doc_id
+        JOIN r ON r.doc_id = s.doc_id
+        WHERE q.quality >= 0.45 AND r.rep_ratio <= 0.5
     """,
     # -- provenance rollup re-derived in SQL over the independent
     #    golden triples (counts + window argmin for first sighting)

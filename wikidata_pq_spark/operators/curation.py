@@ -1,0 +1,75 @@
+"""End-to-end corpus curation: the composed filter chain a training
+pipeline runs over raw documents before tokenization.
+
+One declarative plan composing the repo's individual operators --
+exact-dedup survivor selection, quality gate, repetition gate, and
+deterministic split assignment -- so Catalyst sees the whole chain at
+once (shared scans, pushed filters), instead of materializing between
+stages. This is the "a reference user could run their curation flow
+here" query: every stage is individually oracle-checked elsewhere; the
+composition is oracle-checked as `x_curate_corpus`.
+
+Split assignment is content-hashed (first md5 hex char: 0-b train,
+c-d val, e-f test = 12/2/2 sixteenths), so membership is reproducible
+across runs and engines and survives re-sharding -- the standard
+deterministic-holdout trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, textstats
+
+TRAIN_HEX = list("0123456789ab")
+VAL_HEX = ["c", "d"]
+
+
+def split_col(text_col) -> "F.Column":
+    """Deterministic content-hash split label (train/val/test)."""
+    first_hex = F.substring(F.md5(text_col), 1, 1)
+    return (
+        F.when(first_hex.isin(*TRAIN_HEX), F.lit("train"))
+        .when(first_hex.isin(*VAL_HEX), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    quality_min: float = 0.3,
+    rep_max: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents -> curated (doc_id, lang, split, quality, rep_ratio).
+
+    Stages, all in one plan:
+    1. exact-dedup survivors only (keep_id = min id per text digest --
+       the digest groupBy is the only corpus-sized shuffle);
+    2. quality gate: composite score >= quality_min;
+    3. repetition gate: duplicate-3-gram fraction <= rep_max;
+    4. deterministic split label from the content hash.
+
+    At 100 TB: one scan feeds the digest aggregate and the per-row
+    features; the survivor semi-join keys on the id. The gates are
+    plain filters Catalyst can reorder.
+    """
+    survivors = dedup.exact_dup_groups(df, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    quality = textstats.quality_score(df, text_col=text_col, id_col=id_col).select(
+        id_col, "quality"
+    )
+    rep = textstats.repetition_stats(df, n=3, text_col=text_col, id_col=id_col).select(
+        id_col, "rep_ratio"
+    )
+    base = df.select(id_col, "lang", split_col(F.col(text_col)).alias("split"))
+    return (
+        base.join(survivors, id_col, "semi")
+        .join(quality, id_col)
+        .join(rep, id_col)
+        .filter((F.col("quality") >= quality_min) & (F.col("rep_ratio") <= rep_max))
+        .select(id_col, "lang", "split", "quality", "rep_ratio")
+    )
