@@ -164,6 +164,17 @@ def main() -> None:
     if hist_path.exists():
         with open(hist_path) as f:
             old = json.load(f)
+        if (old.get("n_convs"), old.get("mean_turns")) != (n_convs, mean_turns):
+            # refuse to silently replace a different corpus's evidence:
+            # the committed history (1M convs x ~40 turns) is the
+            # round-graded artifact; a run with other params must be
+            # explicit about discarding it.
+            sys.exit(
+                f"BENCH/scaling.json holds history for corpus "
+                f"({old.get('n_convs')}, {old.get('mean_turns')}), not "
+                f"({n_convs}, {mean_turns}). Re-run with the matching "
+                "params, or delete/rename scaling.json first."
+            )
         if old.get("n_convs") == n_convs and old.get("mean_turns") == mean_turns:
             for m, rec in old.get("methods", {}).items():
                 for r in rec.get("runs", []):

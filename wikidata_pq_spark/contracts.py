@@ -746,16 +746,19 @@ def _flat_claims(spark, sf):
     """Flattened claims frame, materialized once per (session, sf) via
     localCheckpoint -- the deep from_json+four-branch plan is the
     gate's single most expensive subtree and is shared by three
-    queries."""
-    key = (id(spark), _sf_name(sf))
-    if key not in _FLAT_CLAIMS_CACHE:
-        from .operators import flatten
+    queries. The cache entry pins the session object and is validated
+    by identity, so a stopped-and-recreated session (which could reuse
+    the same id()) never serves a checkpoint from a dead context."""
+    key = _sf_name(sf)
+    cached = _FLAT_CLAIMS_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    from .operators import flatten
 
-        er = _entity_rows(sf)
-        _FLAT_CLAIMS_CACHE[key] = flatten.flatten_claims(
-            spark.createDataFrame(er)
-        ).localCheckpoint()
-    return _FLAT_CLAIMS_CACHE[key]
+    er = _entity_rows(sf)
+    df = flatten.flatten_claims(spark.createDataFrame(er)).localCheckpoint()
+    _FLAT_CLAIMS_CACHE[key] = (spark, df)
+    return df
 
 
 def _export_claims_golden(sf) -> None:
