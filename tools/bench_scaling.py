@@ -352,8 +352,8 @@ reps accumulate.
 
 Note on history: early rounds reported a higher raw efficiency
 (0.765) because the 8-core cell had only steal-inflated windows
-(>=146 s at >=600 steal ticks); later clean windows (104 s at 86
-ticks) sharpened that minimum and LOWERED the ratio. That is the
+(>=146 s at >=600 steal ticks); later clean windows (down to 91.3 s at 11-380
+steal ticks) sharpened that minimum and LOWERED the ratio. That is the
 estimator converging, not a regression -- per-rep times and steal
 ticks for every cell are in BENCH/scaling.json for audit.
 
