@@ -276,3 +276,33 @@ def test_repetition_stats(spark):
     assert abs(out.loc[0, "rep_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
     assert out.loc[1, "rep_ratio"] == 0.0
     assert out.loc[2, "n_ngrams"] == 0 and out.loc[2, "rep_ratio"] == 0.0
+
+
+def test_quantizer_null_embedding_parity(spark, monkeypatch):
+    """NULL embeddings must not diverge between the literal and Arrow
+    assignment paths: literal yields bucket 0 (every when() falls
+    through) and probe cells [0..n_probe-1] (comparator falls to cell
+    order); the Arrow path must match instead of crashing on None."""
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, -2.0, 0.5, 3.0], None, [-1.0, 1.0, -1.0, 1.0]],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    planes = similarity._planes(4, 3, seed=5)
+    cents = np.random.default_rng(6).standard_normal((4, 4))
+
+    def run():
+        b = df.select("vec_id", similarity.lsh_bucket_col(
+            F.col("embedding"), planes).alias("b")).toPandas().set_index("vec_id")["b"]
+        c = df.select("vec_id", similarity._nearest_cells_col(
+            F.col("embedding"), cents, 2).alias("c")).toPandas().set_index("vec_id")["c"].map(tuple)
+        return b, c
+
+    lit_b, lit_c = run()
+    assert lit_b.loc[1] == 0 and lit_c.loc[1] == (0, 1)
+    monkeypatch.setattr(similarity, "LITERAL_ASSIGN_BUDGET", 0)
+    udf_b, udf_c = run()
+    assert (lit_b == udf_b).all()
+    assert (lit_c == udf_c).all()

@@ -204,16 +204,15 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     assert pairs == {(10, 11), (20, 21)}
 
 
-def test_incremental_triple_support_merge(spark, tmp_path):
-    """Batch-wise MERGE INTO analogue: two epochs of triples merged
-    into the bucketed rollup equal the one-shot batch rollup (support
-    counts and first sightings exactly; distinct-conv counts via HLL,
-    exact at these cardinalities), and the second merge only rewrites
-    its dirty buckets."""
+def test_incremental_triple_support_merge_and_replay(spark, tmp_path):
+    """Per-epoch partial aggregates: two epochs reduce to the one-shot
+    batch rollup (support counts and first sightings exactly;
+    distinct-conv counts via HLL, exact at these cardinalities), a
+    REPLAYED epoch overwrites its own partition instead of
+    double-counting, and other epochs' files are untouched."""
     import os
 
     import pandas as pd
-    import pyspark.sql.functions as F
 
     from wikidata_pq_spark.operators import graph
     from wikidata_pq_spark.streaming import incremental as inc
@@ -232,17 +231,17 @@ def test_incremental_triple_support_merge(spark, tmp_path):
     out = str(tmp_path / "support")
     d1 = spark.createDataFrame(pd.DataFrame(epoch1, columns=cols))
     d2 = spark.createDataFrame(pd.DataFrame(epoch2, columns=cols))
-    inc.merge_triple_support(d1, out, n_buckets=4)
-    mtimes = {
-        p: os.path.getmtime(os.path.join(out, p))
-        for p in os.listdir(out) if p.startswith("bucket=")
-    }
+    inc.merge_triple_support(d1, out, epoch_id=0, n_buckets=4)
+    e0_mtime = os.path.getmtime(os.path.join(out, "epoch=0"))
     import time as _t
     _t.sleep(1.1)
-    inc.merge_triple_support(d2, out, n_buckets=4)
+    inc.merge_triple_support(d2, out, epoch_id=1, n_buckets=4)
 
-    got = inc.read_triple_support(spark, out).toPandas().set_index(
-        ["subj", "pred", "obj"]).sort_index()
+    def rollup():
+        return inc.read_triple_support(spark, out).toPandas().set_index(
+            ["subj", "pred", "obj"]).sort_index()
+
+    got = rollup()
     full = graph.triple_support(d1.unionByName(d2)).toPandas().set_index(
         ["subj", "pred", "obj"]).sort_index()
     assert (got["n_support"] == full["n_support"]).all()
@@ -250,21 +249,20 @@ def test_incremental_triple_support_merge(spark, tmp_path):
     assert (got["first_turn"] == full["first_turn"]).all()
     assert (got["n_convs_est"] == full["n_convs"]).all()  # HLL exact here
 
-    # dirty-bucket isolation: buckets untouched by epoch2 kept their files
-    from wikidata_pq_spark.sources import tableio
-    dirty2 = {
-        r[0] for r in d2.select(
-            tableio.bucket_column("subj", 4).alias("b")).distinct().collect()
-    }
-    for p, m in mtimes.items():
-        b = int(p.split("=")[1])
-        if b not in dirty2:
-            assert os.path.getmtime(os.path.join(out, p)) == m, p
+    # at-least-once replay of epoch 1: the partial is REPLACED, the
+    # rollup is byte-identical, and epoch 0's partition is untouched
+    _t.sleep(1.1)
+    inc.merge_triple_support(d2, out, epoch_id=1, n_buckets=4)
+    again = rollup()
+    assert (again["n_support"] == full["n_support"]).all()
+    assert (again["n_convs_est"] == full["n_convs"]).all()
+    assert os.path.getmtime(os.path.join(out, "epoch=0")) == e0_mtime
 
 
 def test_incremental_triple_support_streaming(spark, tmp_path):
     """End-to-end through Structured Streaming: triples parquet dir ->
-    availableNow foreachBatch merge -> rollup equals the batch rollup."""
+    availableNow foreachBatch epoch partials -> rollup equals the
+    batch rollup."""
     import pandas as pd
 
     from wikidata_pq_spark.operators import graph

@@ -175,39 +175,39 @@ def main() -> None:
                 f"({n_convs}, {mean_turns}). Re-run with the matching "
                 "params, or delete/rename scaling.json first."
             )
-        if old.get("n_convs") == n_convs and old.get("mean_turns") == mean_turns:
-            for m, rec in old.get("methods", {}).items():
-                for r in rec.get("runs", []):
-                    prior[(m, r["cpus"])] = [
-                        {"cpus": r["cpus"], "method": m, "sec": s,
-                         "turns": r["turns"], "triples": r["triples"],
-                         "triples_per_sec": round(r["triples"] / s, 1),
-                         "turns_per_sec": round(r["turns"] / s, 1),
-                         "steal_ticks": t}
-                        for s, t in zip(r.get("reps", []), r.get("steals", [0] * 9))
-                    ]
-            # ceiling from per-LEVEL best throughputs across invocations
-            # (the burn suffers steal like any run; a single window's
-            # ratio can be skewed either way -- e.g. an 8-proc phase
-            # crushed by steal fakes a near-1.0 ceiling). Best-case per
-            # level matches the min-of-reps estimator used for the job.
-            old_hw = old.get("hw_ceiling", {})
-            hw = {
-                "throughput_8": max(hw["throughput_8"], old_hw.get("throughput_8", 0)),
-                "throughput_32": max(hw["throughput_32"], old_hw.get("throughput_32", 0)),
-                "mem_throughput_8": max(
-                    hw["mem_throughput_8"], old_hw.get("mem_throughput_8", 0)
-                ),
-                "mem_throughput_32": max(
-                    hw["mem_throughput_32"], old_hw.get("mem_throughput_32", 0)
-                ),
-            }
-            hw["ceiling_8_to_32"] = round(
-                (hw["throughput_32"] / hw["throughput_8"]) / 4, 3
-            )
-            hw["mem_ceiling_8_to_32"] = round(
-                (hw["mem_throughput_32"] / hw["mem_throughput_8"]) / 4, 3
-            )
+        # params match (the guard above exits otherwise): merge history
+        for m, rec in old.get("methods", {}).items():
+            for r in rec.get("runs", []):
+                prior[(m, r["cpus"])] = [
+                    {"cpus": r["cpus"], "method": m, "sec": s,
+                     "turns": r["turns"], "triples": r["triples"],
+                     "triples_per_sec": round(r["triples"] / s, 1),
+                     "turns_per_sec": round(r["turns"] / s, 1),
+                     "steal_ticks": t}
+                    for s, t in zip(r.get("reps", []), r.get("steals", [0] * 9))
+                ]
+        # ceiling from per-LEVEL best throughputs across invocations
+        # (the burn suffers steal like any run; a single window's
+        # ratio can be skewed either way -- e.g. an 8-proc phase
+        # crushed by steal fakes a near-1.0 ceiling). Best-case per
+        # level matches the min-of-reps estimator used for the job.
+        old_hw = old.get("hw_ceiling", {})
+        hw = {
+            "throughput_8": max(hw["throughput_8"], old_hw.get("throughput_8", 0)),
+            "throughput_32": max(hw["throughput_32"], old_hw.get("throughput_32", 0)),
+            "mem_throughput_8": max(
+                hw["mem_throughput_8"], old_hw.get("mem_throughput_8", 0)
+            ),
+            "mem_throughput_32": max(
+                hw["mem_throughput_32"], old_hw.get("mem_throughput_32", 0)
+            ),
+        }
+        hw["ceiling_8_to_32"] = round(
+            (hw["throughput_32"] / hw["throughput_8"]) / 4, 3
+        )
+        hw["mem_ceiling_8_to_32"] = round(
+            (hw["mem_throughput_32"] / hw["mem_throughput_8"]) / 4, 3
+        )
 
     def read_steal() -> int:
         with open("/proc/stat") as f:

@@ -1611,13 +1611,19 @@ ORACLE_SQL = {
                      unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS chunk_idx,
                      unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)),
                             i -> array_to_string(toks[i*16+1 : i*16+16], ' '))) AS chunk_text
-              FROM t WHERE len(toks) > 0)
-        SELECT md5(chunk_text) AS digest,
-               count(*) AS n_occurrences,
-               count(DISTINCT doc_id) AS n_docs,
-               CAST(min(doc_id * 1048576 + chunk_idx) // 1048576 AS BIGINT) AS keep_doc_id,
-               CAST(min(doc_id * 1048576 + chunk_idx) % 1048576 AS INTEGER) AS keep_chunk_idx
-        FROM c GROUP BY 1 HAVING count(*) > 1
+              FROM t WHERE len(toks) > 0),
+        g AS (SELECT md5(chunk_text) AS digest,
+                     count(*) AS n_occurrences,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM c GROUP BY 1 HAVING count(*) > 1),
+        k AS (SELECT md5(chunk_text) AS digest, doc_id AS keep_doc_id,
+                     CAST(chunk_idx AS INTEGER) AS keep_chunk_idx,
+                     row_number() OVER (PARTITION BY md5(chunk_text)
+                         ORDER BY doc_id, chunk_idx) AS r
+              FROM c)
+        SELECT g.digest, g.n_occurrences, g.n_docs,
+               k.keep_doc_id, k.keep_chunk_idx
+        FROM g JOIN k ON g.digest = k.digest AND k.r = 1
     """,
     "x_decontaminate_ngrams": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -35,6 +35,9 @@ from ..functions import text as TX
 
 MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b within int64 under ANSI mode
 
+# holds the single most-recent persisted token frame (see near_dup_pairs)
+_LAST_TOKEN_FRAME: dict = {}
+
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text digest.
@@ -338,6 +341,17 @@ def near_dup_pairs(
     from pyspark import StorageLevel
 
     tok = tokenized(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # bounded cache: at most ONE persisted token frame lives at a time
+    # -- a loop over corpora would otherwise pin one block set per call
+    # for the session lifetime. Unpersisting the previous frame is
+    # always safe: consumers recompute through lineage.
+    prev = _LAST_TOKEN_FRAME.pop("df", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    _LAST_TOKEN_FRAME["df"] = tok
     cands = minhash_lsh_candidates(
         df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col,
         id_col=id_col, tokens_df=tok,
@@ -449,9 +463,10 @@ def chunk_dup_spans(
     document-level dedup (boilerplate/quote removal). 100 TB shape:
     explode is linear in corpus tokens; the only shuffle is the
     groupBy on the chunk digest (~32 B/row), same scale class as
-    :func:`exact_dup_groups`. Composite keep key = doc_id * 2^20 +
-    chunk_idx keeps the survivor pick a plain MIN aggregate (docs are
-    capped well under 2^20 chunks).
+    :func:`exact_dup_groups`. The survivor pick is a lexicographic
+    min(struct(doc_id, chunk_idx)) in the same aggregate pass -- exact
+    for the full int64 id range (a packed doc_id*2^20+chunk_idx key
+    would overflow for snowflake-style ids >= 2^43).
     """
     tok = tokenized(df, text_col, id_col)
     n_chunks = F.ceil(F.size("toks") / width).cast("int")
@@ -473,7 +488,7 @@ def chunk_dup_spans(
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("id").alias("n_docs"),
-            F.min(F.col("id") * (1 << 20) + F.col("chunk_idx")).alias("_keep"),
+            F.min(F.struct("id", "chunk_idx")).alias("_keep"),
         )
         .filter(F.col("n_occurrences") > 1)
     )
@@ -481,8 +496,8 @@ def chunk_dup_spans(
         "digest",
         "n_occurrences",
         "n_docs",
-        (F.col("_keep") / (1 << 20)).cast("long").alias("keep_doc_id"),
-        F.pmod(F.col("_keep"), F.lit(1 << 20)).cast("int").alias("keep_chunk_idx"),
+        F.col("_keep.id").alias("keep_doc_id"),
+        F.col("_keep.chunk_idx").alias("keep_chunk_idx"),
     )
 
 

@@ -76,11 +76,21 @@ def k_hop(
         # volume grows with cycle density at scale. The anti-join keeps
         # each node in exactly one frontier (its min-hop frontier),
         # which is the textbook distributed-BFS invariant.
-        fresh = nxt.join(reached.select("node_id"), "node_id", "left_anti")
+        #
+        # Lineage control: `fresh` references `reached`, and the next
+        # `reached` references both -- without truncation the plan TREE
+        # doubles per hop (Catalyst plans are trees, not DAGs; the
+        # iterative-join failure mode CC also guards against). Lazy
+        # localCheckpoint per hop keeps the per-hop plan flat and
+        # evaluates `fresh` once for both its consumers.
+        fresh = nxt.join(
+            reached.select("node_id"), "node_id", "left_anti"
+        ).localCheckpoint(eager=False)
         if _frontier_sizes is not None:  # test-only instrumentation
-            fresh = fresh.localCheckpoint()
             _frontier_sizes.append(fresh.count())
-        reached = reached.union(fresh.select("node_id", F.lit(h).alias("hop")))
+        reached = reached.union(
+            fresh.select("node_id", F.lit(h).alias("hop"))
+        ).localCheckpoint(eager=False)
         frontier = fresh.select(F.col("node_id").alias("_s"))
     return reached.filter(F.col("hop") > 0)
 

@@ -73,11 +73,62 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 LITERAL_ASSIGN_BUDGET = 65536
 
 
+# one broadcast per distinct matrix content per SparkContext: repeated
+# plan builds against the same quantizer reuse the broadcast instead of
+# leaking a new (never-destroyed) one per call.
+_BROADCAST_CACHE: dict = {}
+
+
 def _broadcast_matrix(mat: "np.ndarray"):
+    import hashlib
+
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
-    return sess.sparkContext.broadcast(mat) if sess is not None else None
+    if sess is None:
+        return None
+    key = (
+        id(sess.sparkContext),
+        mat.shape,
+        hashlib.md5(mat.tobytes()).hexdigest(),
+    )
+    bc = _BROADCAST_CACHE.get(key)
+    if bc is None:
+        bc = sess.sparkContext.broadcast(mat)
+        _BROADCAST_CACHE[key] = bc
+    return bc
+
+
+def _bucket_batch(v: "pd.Series", mat: "np.ndarray", weights: "np.ndarray") -> "pd.Series":
+    """Vectorized sign-bit bucketing with literal-path NULL parity:
+    a NULL vector's every dot is NULL, every when() falls through, the
+    bucket is 0 -- so null rows get bucket 0 here too."""
+    out = np.zeros(len(v), dtype=np.int64)
+    mask = v.notna().to_numpy()
+    if mask.any():
+        x = np.array(v[mask].tolist(), dtype=np.float64)
+        bits = x @ mat.T >= 0
+        out[mask] = bits @ weights
+    return pd.Series(out.astype(np.int32))
+
+
+def _cells_batch(v: "pd.Series", mat: "np.ndarray", n_probe: int) -> "pd.Series":
+    """Vectorized nearest-cell probes with literal-path NULL parity:
+    NULL sims make the literal comparator fall through to cell-index
+    order, yielding cells [0..n_probe-1] -- matched here."""
+    null_cells = np.arange(n_probe, dtype=np.int32)
+    out = [null_cells] * len(v)
+    mask = v.notna().to_numpy()
+    if mask.any():
+        x = np.array(v[mask].tolist(), dtype=np.float64)
+        sims = x @ mat.T
+        # stable argsort on -sim == sim desc, ties -> lower cell first
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        j = 0
+        for pos in np.nonzero(mask)[0]:
+            out[pos] = idx[j]
+            j += 1
+    return pd.Series(out)
 
 
 def lsh_bucket_col(vec_col, planes: list[list[float]]):
@@ -102,14 +153,23 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
 
     bc = _broadcast_matrix(P)
-    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+    weights = 1 << np.arange(P.shape[0], dtype=np.int64)
 
-    @pandas_udf("int")
-    def _bucket(v: pd.Series) -> pd.Series:
-        mat = bc.value if bc is not None else P
-        x = np.array(v.tolist(), dtype=np.float64)
-        bits = x @ mat.T >= 0
-        return pd.Series((bits @ weights).astype(np.int32))
+    # Closure discipline: the broadcast-path UDF captures ONLY the
+    # broadcast handle (capturing P too would pickle the full matrix
+    # into every task, defeating the broadcast). The matrix-capturing
+    # form exists only for the no-active-session fallback.
+    if bc is not None:
+
+        @pandas_udf("int")
+        def _bucket(v: pd.Series) -> pd.Series:
+            return _bucket_batch(v, bc.value, weights)
+
+    else:
+
+        @pandas_udf("int")
+        def _bucket(v: pd.Series) -> pd.Series:
+            return _bucket_batch(v, P, weights)
 
     return _bucket(vec_col)
 
@@ -271,15 +331,17 @@ def _nearest_cells_col(vec_col, cents: np.ndarray, n_probe: int):
     from pyspark.sql.functions import pandas_udf
 
     bc = _broadcast_matrix(C)
+    if bc is not None:
 
-    @pandas_udf("array<int>")
-    def _cells(v: pd.Series) -> pd.Series:
-        mat = bc.value if bc is not None else C
-        x = np.array(v.tolist(), dtype=np.float64)
-        sims = x @ mat.T
-        # stable argsort on -sim == sim desc, ties -> lower cell first
-        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(idx.astype(np.int32)))
+        @pandas_udf("array<int>")
+        def _cells(v: pd.Series) -> pd.Series:
+            return _cells_batch(v, bc.value, n_probe)
+
+    else:
+
+        @pandas_udf("array<int>")
+        def _cells(v: pd.Series) -> pd.Series:
+            return _cells_batch(v, C, n_probe)
 
     return _cells(vec_col)
 

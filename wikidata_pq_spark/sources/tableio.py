@@ -28,9 +28,15 @@ def iceberg_available(spark: SparkSession) -> bool:
     (context conf at session build time, or runtime session conf)."""
     try:
         confs = dict(spark.sparkContext.getConf().getAll())
+    except Exception:
+        confs = {}
+    try:
+        # RuntimeConfig.getAll is a PySpark >= 4.0 property; guarded
+        # separately so 3.x still gets context-conf detection instead
+        # of a blanket False.
         confs.update(spark.conf.getAll)
     except Exception:
-        return False
+        pass
     return any(k.startswith("spark.sql.catalog.") for k in confs)
 
 

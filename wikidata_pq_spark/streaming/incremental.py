@@ -185,33 +185,30 @@ def windowed_event_counts(
 
 
 def merge_triple_support(
-    batch: DataFrame, out_dir: str, n_buckets: int = 16
+    batch: DataFrame, out_dir: str, epoch_id: int, n_buckets: int = 16
 ) -> None:
     """Merge one batch of (subj, pred, obj, conv_id, turn_idx) triples
-    into a bucketed running support table -- the hand-rolled parquet
-    analogue of Iceberg MERGE INTO:
+    into the running support table by writing the batch's PARTIAL
+    aggregate under its own ``epoch=N`` partition:
 
-    1. aggregate the batch per triple key (support count, first
-       sighting, and an HLL sketch of conv_ids -- count-distinct is
-       NOT mergeable across batches, sketches are; the standard
-       streaming-rollup trick);
-    2. dirty buckets = the batch keys' subject-hash buckets (bounded
-       by n_buckets -- the collect is metadata-sized);
-    3. read ONLY the dirty buckets of the existing table
-       (partition-pruned), union with the batch aggregate, re-reduce
-       (sum counts, min first sighting, hll_union);
-    4. dynamic partition-overwrite writes back exactly the dirty
-       buckets -- committed clean buckets are never rewritten, so an
-       at-least-once retry of the epoch is idempotent.
+    - support count, first sighting, and an HLL sketch of conv_ids per
+      triple key (count-distinct is NOT mergeable across batches;
+      sketches are -- the standard streaming-rollup trick);
+    - the write is a dynamic partition-overwrite of exactly
+      ``epoch=<epoch_id>`` -- so an at-least-once replay of the epoch
+      REPLACES its own partial instead of double-counting. Idempotency
+      comes from the layout, not from a ledger that could itself miss
+      a commit (same design as ``incremental_extract``'s epoch
+      partitions above).
 
-    At 10^12 turns: per-batch work is proportional to the batch plus
-    the touched buckets, never the whole table.
+    The read side (:func:`read_triple_support`) reduces the partials
+    (sum / min / hll_union). At 10^12 turns the per-epoch write is
+    proportional to the batch; epoch compaction is table maintenance
+    (an Iceberg rewrite action at scale), deliberately not hand-rolled
+    over bare parquet where it cannot be atomic.
     """
-    import os
-
     from ..sources import tableio
 
-    spark = batch.sparkSession
     agg = (
         batch.groupBy("subj", "pred", "obj")
         .agg(
@@ -226,45 +223,35 @@ def merge_triple_support(
             "conv_hll",
         )
         .withColumn("bucket", tableio.bucket_column("subj", n_buckets))
+        .withColumn("epoch", F.lit(int(epoch_id)))
     )
-    dirty = sorted(r[0] for r in agg.select("bucket").distinct().collect())
-    existing_dirs = [
-        f"{out_dir}/bucket={b}" for b in dirty
-        if os.path.isdir(f"{out_dir}/bucket={b}")
-    ]
-    merged = agg
-    if existing_dirs:
-        old = spark.read.option("basePath", out_dir).parquet(*existing_dirs)
-        merged = (
-            agg.unionByName(old)
-            .groupBy("subj", "pred", "obj", "bucket")
-            .agg(
-                F.sum("n_support").alias("n_support"),
-                F.min(F.struct("first_conv", "first_turn")).alias("_first"),
-                F.hll_union_agg("conv_hll").alias("conv_hll"),
-            )
-            .select(
-                "subj", "pred", "obj", "n_support",
-                F.col("_first.first_conv").alias("first_conv"),
-                F.col("_first.first_turn").alias("first_turn"),
-                "conv_hll", "bucket",
-            )
-        )
     (
-        merged.write.mode("overwrite")
+        agg.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
+        .partitionBy("epoch", "bucket")
         .parquet(out_dir)
     )
 
 
 def read_triple_support(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The running support table with the HLL estimate materialized:
-    (subj, pred, obj, n_support, n_convs_est, first_conv, first_turn)."""
-    return spark.read.parquet(out_dir).select(
-        "subj", "pred", "obj", "n_support",
-        F.hll_sketch_estimate("conv_hll").cast("long").alias("n_convs_est"),
-        "first_conv", "first_turn",
+    """Reduce the per-epoch partials into the current rollup:
+    (subj, pred, obj, n_support, n_convs_est, first_conv, first_turn).
+    Sum / lexicographic-min / hll_union are all associative, so the
+    result is independent of epoch arrival order."""
+    raw = spark.read.parquet(out_dir)
+    return (
+        raw.groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("n_support").alias("n_support"),
+            F.min(F.struct("first_conv", "first_turn")).alias("_first"),
+            F.hll_union_agg("conv_hll").alias("conv_hll"),
+        )
+        .select(
+            "subj", "pred", "obj", "n_support",
+            F.hll_sketch_estimate("conv_hll").cast("long").alias("n_convs_est"),
+            F.col("_first.first_conv").alias("first_conv"),
+            F.col("_first.first_turn").alias("first_turn"),
+        )
     )
 
 
@@ -275,12 +262,13 @@ def incremental_triple_support(
     n_buckets: int = 16,
 ):
     """Streaming wrapper: foreachBatch(merge_triple_support) with an
-    availableNow trigger -- each micro-batch of linked triples merges
-    into the bucketed running rollup; the streaming checkpoint resumes
-    a killed job at the next uncommitted batch."""
+    availableNow trigger -- each micro-batch of linked triples lands as
+    its own epoch partial; the streaming checkpoint resumes a killed
+    job at the next uncommitted batch, and a replayed batch overwrites
+    exactly its own epoch partition (idempotent)."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_triple_support(batch_df, out_dir, n_buckets=n_buckets)
+        merge_triple_support(batch_df, out_dir, epoch_id, n_buckets=n_buckets)
 
     return (
         stream_triples.writeStream.foreachBatch(process_batch)
