@@ -84,7 +84,9 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas"],
     ),
     # passage dedup: explode + digest groupBy only, no joins at all
-    "dedup_chunk_spans": ([r"Generate", r"HashAggregate"], [r"Join"]),
+    # (min(struct) survivor pick lowers to SortAggregate -- still a
+    # partial-merge aggregate, just not hash-buffered)
+    "dedup_chunk_spans": ([r"Generate", r"HashAggregate|SortAggregate"], [r"Join"]),
     # fuzzy ER: inverted-index equi-join + argmax window, no cartesian
     "kg_fuzzy_link": (
         [r"HashAggregate", r"Window"],
@@ -98,6 +100,25 @@ CHECKS = {
 }
 
 
+def _graph_khop_raw(spark, sf):
+    """k_hop truncates lineage per hop (localCheckpoint), which hides
+    the per-hop join shape behind checkpoint scans; audit the
+    untruncated plan."""
+    import pyspark.sql.functions as F
+
+    from wikidata_pq_spark.operators import graph
+
+    c = contracts.load(spark, sf, "customer")
+    edges = c.filter(F.col("c_custkey") % 10 != 9).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
+    )
+    seeds = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("node_id")
+    )
+    return graph.k_hop(edges, seeds, k=2, truncate_lineage=False)
+
+
 def _flatten_claims_raw(spark, sf):
     """The contract query memoizes the flattened frame behind a
     localCheckpoint (its audited plan would be a bare RDD scan); audit
@@ -109,7 +130,10 @@ def _flatten_claims_raw(spark, sf):
     return flatten.flatten_claims(spark.createDataFrame(er))
 
 
-BUILDERS = {"flatten_claims_fourbranch": _flatten_claims_raw}
+BUILDERS = {
+    "flatten_claims_fourbranch": _flatten_claims_raw,
+    "graph_khop": _graph_khop_raw,
+}
 
 
 def main() -> None:

@@ -48,6 +48,7 @@ def k_hop(
     src: str = "src_id",
     dst: str = "dst_id",
     directed: bool = True,
+    truncate_lineage: bool = True,
     _frontier_sizes: list | None = None,
 ) -> DataFrame:
     """All nodes reachable from ``seeds(node_id)`` in 1..k hops, with
@@ -83,14 +84,17 @@ def k_hop(
         # iterative-join failure mode CC also guards against). Lazy
         # localCheckpoint per hop keeps the per-hop plan flat and
         # evaluates `fresh` once for both its consumers.
-        fresh = nxt.join(
-            reached.select("node_id"), "node_id", "left_anti"
-        ).localCheckpoint(eager=False)
+        # (truncate_lineage=False exists for plan inspection -- the
+        # audit asserts the per-hop join shape, which a checkpoint
+        # scan would hide.)
+        fresh = nxt.join(reached.select("node_id"), "node_id", "left_anti")
+        if truncate_lineage:
+            fresh = fresh.localCheckpoint(eager=False)
         if _frontier_sizes is not None:  # test-only instrumentation
             _frontier_sizes.append(fresh.count())
-        reached = reached.union(
-            fresh.select("node_id", F.lit(h).alias("hop"))
-        ).localCheckpoint(eager=False)
+        reached = reached.union(fresh.select("node_id", F.lit(h).alias("hop")))
+        if truncate_lineage:
+            reached = reached.localCheckpoint(eager=False)
         frontier = fresh.select(F.col("node_id").alias("_s"))
     return reached.filter(F.col("hop") > 0)
 
