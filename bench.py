@@ -65,13 +65,27 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # min-of-N reps per query: this host is an overcommitted shared box
+    # (r03 showed +0.3-0.6s swings on unchanged plans), so a single
+    # sample conflates operator cost with hypervisor jitter. The min is
+    # the standard noise-floor estimator; spark.catalog.clearCache()
+    # between reps drops any frame a query persisted, so every rep
+    # measures the COLD plan (JVM and OS page cache stay warm -- that
+    # part is stable and is not what we are benchmarking).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     kg_rows = 0
     for name in BENCH_QUERIES:
         fn = contracts.QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        timings[name] = min(samples)
+        rep_times[name] = samples
         if name == "kg_triples":
             kg_rows = n
 
@@ -83,6 +97,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "reps": reps,
+        "estimator": "min",
+        "rep_times": rep_times,
         "kg_triples": kg_rows,
         "kg_triples_per_sec": round(kg_rows / timings["kg_triples"], 1)
         if timings.get("kg_triples")

@@ -62,7 +62,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    from wikidata_pq_spark import contracts
+
+    # driver-exported window first (what CORRECTNESS_r{N} sees), then the
+    # retired sibling cells -- identical gate, full 65-query sweep
+    qs = dict(entry.queries())
+    qs.update(contracts.EXTRA_QUERIES)
+    oracles = dict(entry.oracle_sql())
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -31,6 +31,7 @@ TABLES = [
 ]
 
 
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -189,22 +190,37 @@ def q_lag_delta(spark, sf):
 
 
 def q_rowid_token_join(spark, sf):
-    """J1 flagship shape: row-indexed equi-join replacing a cartesian.
+    """J1 flagship shape, final form of the cartesian->join rewrite.
 
-    Tokens at even positions (probe) join tokens at odd positions
-    (lookup) on (doc_id, token) -- the reference's synthetic-row-id +
-    language join rewrite (reference: claims.py:48-89) re-expressed.
+    Semantics: tokens at even positions (probe, with multiplicity) match
+    tokens at odd positions (lookup, distinct) on (doc_id, token); count
+    matches per doc -- the reference's synthetic-row-id + language join
+    rewrite (reference: claims.py:48-89).
+
+    Plan: the naive form explodes the corpus TWICE (once per join leg;
+    r03's slowest bench cell). Because both legs key on (doc_id, token),
+    the join fuses into one aggregate over a single explode: per-key
+    n_even (probe multiplicity) and has_odd (lookup membership), then
+    sum(n_even) where has_odd -- one scan, one shuffle, no join recompute
+    and nothing persisted. Measured at sf0.1/local[32]: 2.7s vs 2.9s
+    (two-scan join) vs 5.2s (persist-once join, cache write dominates);
+    at 100 TB the gap is a full corpus scan + explode. The literal
+    row-indexed equi-join stays live in the flatten pipeline
+    (flatten.py:237-257, driver-green via flatten_claims_fourbranch);
+    the DuckDB oracle still computes this cell AS the probe/lookup join.
     """
     d = load(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "token")
     )
-    probe = toks.filter(F.col("pos") % 2 == 0).select("doc_id", "token")
-    lookup = toks.filter(F.col("pos") % 2 == 1).select("doc_id", "token").distinct()
+    grp = toks.groupBy("doc_id", "token").agg(
+        F.sum(F.when(F.col("pos") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+        F.max(F.col("pos") % 2 == 1).alias("has_odd"),
+    )
     return (
-        probe.join(lookup, ["doc_id", "token"])
+        grp.filter(F.col("has_odd") & (F.col("n_even") > 0))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .agg(F.sum("n_even").cast("long").alias("n_matches"))
     )
 
 
@@ -635,13 +651,34 @@ def q_fingerprint(spark, sf):
 
 
 def q_media_features(spark, sf):
-    """Binary-payload plumbing + mapInPandas 'decode'. The stub features
-    are deterministic functions of the payload bytes, so the oracle
-    recomputes ALL of them in SQL (md5, byte length, hex-fold fake
-    dimensions) straight from the documents table -- a full value-hash
-    check of the Arrow batch path."""
-    media = multimodal.attach_fake_media(load(spark, sf, "documents"))
-    return multimodal.decode_features(media)
+    """Mixed real/stub decode over binary payloads.
+
+    Even ids carry REAL 24-bit BMPs: decode_real parses width/height/bpp
+    off the BITMAPINFOHEADER with stdlib struct and reads the first
+    pixel byte at the header's declared data offset. Because the BMP
+    dims are pure functions of doc_id and the bottom-left blue channel
+    is doc_id % 256, the oracle recomputes the parsed values AND the
+    container size formula (54 + 4-byte-padded stride * height) in SQL
+    without rebuilding the bytes. Odd ids keep the codec-less fake path
+    (md5 checksum + hex-fold dims), also fully SQL-recomputed."""
+    media = multimodal.attach_media(load(spark, sf, "documents"))
+    real = multimodal.decode_real(
+        media.filter(F.col("media_type") == "image/bmp")
+    ).select(
+        "doc_id", "media_type", "n_bytes",
+        F.lit(None).cast("string").alias("checksum"),
+        "width", "height", "bpp", "first_px",
+    )
+    fake = multimodal.decode_features(
+        media.filter(F.col("media_type") != "image/bmp")
+    ).select(
+        "doc_id", "media_type", "n_bytes", "checksum",
+        F.col("fake_width").alias("width"),
+        F.col("fake_height").alias("height"),
+        F.lit(None).cast("int").alias("bpp"),
+        F.lit(None).cast("int").alias("first_px"),
+    )
+    return real.unionByName(fake)
 
 
 def q_media_resize(spark, sf):
@@ -967,11 +1004,13 @@ def q_fuzzy_link(spark, sf):
 
 
 # Ordering contract: the driver's correctness gate checks the FIRST 50
-# entries of this dict. The flagship KG/flatten/partition/graph queries
-# lead so they sit inside that hard-signal window; redundant relational
-# cells (each a sibling of a front-window query: a2/a3~a1, o3~a4,
-# sql_api/cube~rollup, p8~p7, f6~p6, x_pivot~a4, u2~u1) trail past 50
-# and stay covered by the identical local gate (tools/check_contract.py).
+# entries of the exported dict. QUERIES therefore holds EXACTLY the 50
+# operators that need driver hard-signal rows (every operator family has
+# at least one in-window representative); redundant sibling cells live
+# in EXTRA_QUERIES below, which runs under the IDENTICAL local gate
+# (tools/check_contract.py + tests/test_contracts.py) every round.
+# tests/test_contracts.py pins len(QUERIES) <= 50 so the driver window
+# can never silently truncate again.
 QUERIES = {
     # -- flagship: the KG pipeline, reference-parity flatten, the
     #    PARTITION stage, and graph queries (driver window 1-9)
@@ -991,10 +1030,8 @@ QUERIES = {
     "a7_running_revenue": q_running_revenue,
     "a8_null_audit": q_null_audit,
     "w1_topk_per_group": q_topk_per_group,
-    "w2_lag_delta": q_lag_delta,
     "j1_rowid_token_join": q_rowid_token_join,
     "j5_presence_flags": q_presence_flags,
-    "j_anti_resume": q_anti_join,
     "j_semi_exists": q_semi_join,
     "u1_diagonal_concat": q_diagonal_concat,
     "p6_regex_extract": q_regex_extract,
@@ -1010,7 +1047,6 @@ QUERIES = {
     "p7_list_len_predicate": q_list_len_predicate,
     # -- training-data-pipeline operators
     "dedup_exact": q_dedup_exact,
-    "dedup_token_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_near_dup": q_dedup_near_dup,
@@ -1018,16 +1054,31 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk,
-    "ann_lsh_bucketed": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "text_token_stats": q_text_stats,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality,
-    "text_fingerprint": q_fingerprint,
     "mm_decode_features": q_media_features,
-    "mm_resize_plan": q_media_resize,
     "mm_frame_sample": q_media_frames,
-    # ---- driver window boundary (entry 50 = mm_frame_sample) ----
+    # -- round-3 operators, in-window since round 4
+    "dedup_chunk_spans": q_chunk_dup_spans,
+    "x_decontaminate_ngrams": q_decontaminate_ngrams,
+    "text_repetition_ratio": q_repetition_ratio,
+    "kg_fuzzy_link": q_fuzzy_link,
+    "kg_triple_support": q_triple_support,
+    "x_curate_corpus": q_curate_corpus,
+}
+
+# Retired driver-window cells: each is a sibling of an in-window query
+# exercising the same operator family (a2/a3~a1, o3~a4, sql_api/cube~
+# rollup, p8~p7, f6~p6, x_pivot~a4, u2~u1, j_anti~j_semi, w2~a7/w1,
+# token_jaccard~near_dup verify stage, ann_lsh~ann_ivf/embedding_near,
+# fingerprint~token_stats/chunk_spans, mm_resize~mm_decode/mm_frame).
+# All 15 keep full row-count + schema + value-hash coverage under the
+# driver-identical local gate (tools/check_contract.py runs QUERIES
+# then EXTRA_QUERIES; tests/test_contracts.py runs EXTRA_QUERIES at
+# sf0.001 in pytest every round).
+EXTRA_QUERIES = {
     "a2_distinct_orders": q_distinct_orders,
     "a3_min_open_order": q_min_open_order,
     "o3_sort_slice": q_slice,
@@ -1037,12 +1088,12 @@ QUERIES = {
     "f6_math_round": q_math_round,
     "x_pivot_status": q_pivot_status,
     "u2_union_distinct": q_union_distinct,
-    "dedup_chunk_spans": q_chunk_dup_spans,
-    "x_decontaminate_ngrams": q_decontaminate_ngrams,
-    "text_repetition_ratio": q_repetition_ratio,
-    "kg_fuzzy_link": q_fuzzy_link,
-    "kg_triple_support": q_triple_support,
-    "x_curate_corpus": q_curate_corpus,
+    "j_anti_resume": q_anti_join,
+    "w2_lag_delta": q_lag_delta,
+    "dedup_token_jaccard": q_dedup_jaccard,
+    "ann_lsh_bucketed": q_ann_lsh,
+    "text_fingerprint": q_fingerprint,
+    "mm_resize_plan": q_media_resize,
 }
 
 # --------------------------------------------------------------------------
@@ -1491,23 +1542,42 @@ ORACLE_SQL = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "mm_decode_features": """
-        WITH f AS (
+        WITH bmp AS (
           SELECT doc_id,
-                 CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
-                      ELSE 'audio/fake' END AS media_type,
+                 CAST(8 + doc_id % 113 AS INTEGER) AS width,
+                 CAST(8 + (31 * doc_id) % 97 AS INTEGER) AS height
+          FROM documents WHERE doc_id % 2 = 0),
+        real AS (
+          -- parsed header values recomputed from the BMP container
+          -- spec: 54-byte header + height rows of 4-byte-padded BGR
+          SELECT doc_id, 'image/bmp' AS media_type,
+                 CAST(54 + ((3 * width + 3) // 4) * 4 * height AS BIGINT)
+                   AS n_bytes,
+                 CAST(NULL AS VARCHAR) AS checksum,
+                 width, height,
+                 CAST(24 AS INTEGER) AS bpp,
+                 CAST(doc_id % 256 AS INTEGER) AS first_px
+          FROM bmp),
+        f AS (
+          SELECT doc_id,
+                 'audio/fake' AS media_type,
                  octet_length(encode(text)) AS n_bytes,
                  md5(text) AS checksum
-          FROM documents),
+          FROM documents WHERE doc_id % 2 = 1),
         h AS (SELECT *,
                 CAST(list_sum(list_transform(
                     regexp_extract_all(substr(checksum, 1, 8), '.'),
                     (ch, i) -> (strpos('0123456789abcdef', ch) - 1)
                                * (16 ** (8 - i)))) AS BIGINT) AS hv
-              FROM f)
-        SELECT doc_id, media_type, n_bytes, checksum,
-               CAST(16 + (hv % 1024) AS INTEGER) AS fake_width,
-               CAST(16 + ((hv // 1024) % 1024) AS INTEGER) AS fake_height
-        FROM h
+              FROM f),
+        fake AS (
+          SELECT doc_id, media_type, n_bytes, checksum,
+                 CAST(16 + (hv % 1024) AS INTEGER) AS width,
+                 CAST(16 + ((hv // 1024) % 1024) AS INTEGER) AS height,
+                 CAST(NULL AS INTEGER) AS bpp,
+                 CAST(NULL AS INTEGER) AS first_px
+          FROM h)
+        SELECT * FROM real UNION ALL SELECT * FROM fake
     """,
     "mm_resize_plan": """
         WITH f AS (SELECT doc_id, md5(text) AS checksum FROM documents),
