@@ -78,12 +78,25 @@ def test_driver_window_cap():
     assert not set(contracts.QUERIES) & set(contracts.EXTRA_QUERIES)
 
 
+SF_GATE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con_gate():
+    c = duckdb.connect()
+    for t in contracts.TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_GATE}/{t}.parquet'")
+    return c
+
+
 @pytest.mark.parametrize("name", sorted(contracts.EXTRA_QUERIES))
-def test_extra_query_matches_oracle(spark, con, name):
+def test_extra_query_matches_oracle(spark, con_gate, name):
     """Retired driver-window cells keep the identical local gate:
-    row-count + schema + order-insensitive value-hash vs DuckDB."""
-    got = contracts.EXTRA_QUERIES[name](spark, SF).toPandas()
-    exp = con.sql(contracts.ORACLE_SQL[name]).df()
+    row-count + schema + order-insensitive value-hash vs DuckDB -- at
+    the GATE sf (0.01), because exported-step oracles (ann_lsh_bucketed)
+    only write their trusted artifact there."""
+    got = contracts.EXTRA_QUERIES[name](spark, SF_GATE).toPandas()
+    exp = con_gate.sql(contracts.ORACLE_SQL[name]).df()
     assert len(got) == len(exp)
     assert sorted(got.columns) == sorted(exp.columns)
     assert _vhash(got) == _vhash(exp)

@@ -188,3 +188,38 @@ def test_curate_corpus_composition(spark):
     assert out.sort_values("doc_id").values.tolist() == \
         again.sort_values("doc_id").values.tolist()
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_pack_chunks_straddle_and_shards(spark):
+    """Hand-computed packing: shard A streams 5+3+4=12 tokens into
+    4-token chunks (doc 0 fills chunk 0 and straddles into 1; doc 2
+    starts mid-chunk 1 and ends in chunk 1; doc 4 straddles 2->3);
+    shard B packs independently from offset 0; an empty doc occupies no
+    tokens and pins to its start chunk."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import curation
+
+    rows = [
+        (0, "A", "a b c d e"),        # 5 toks: off 0-4  -> chunks 0..1
+        (2, "A", "f g h"),            # 3 toks: off 5-7  -> chunk 1
+        (4, "A", "i j k l"),          # 4 toks: off 8-11 -> chunks 2..2
+        (1, "B", "x y z"),            # 3 toks: off 0-2  -> chunk 0
+        (3, "B", ""),                 # '' -> [''] = 1 token, off 3
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    out = (
+        curation.pack_chunks(df, max_len=4)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "start_off"] == 0 and out.loc[0, "n_tokens"] == 5
+    assert (out.loc[0, "first_chunk"], out.loc[0, "last_chunk"]) == (0, 1)
+    assert (out.loc[2, "first_chunk"], out.loc[2, "last_chunk"]) == (1, 1)
+    assert (out.loc[4, "first_chunk"], out.loc[4, "last_chunk"]) == (2, 2)
+    assert out.loc[4, "n_chunks"] == 1
+    # shard B independent of A
+    assert out.loc[1, "start_off"] == 0
+    # '' tokenizes to one empty token under the shared tokenizer mirror
+    assert out.loc[3, "n_tokens"] == 1 and out.loc[3, "start_off"] == 3

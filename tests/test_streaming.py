@@ -294,3 +294,75 @@ def test_incremental_triple_support_streaming(spark, tmp_path):
         ["subj", "pred", "obj"]).sort_index()
     assert (got["n_support"] == full["n_support"]).all()
     assert (got["n_convs_est"] == full["n_convs"]).all()
+
+
+def test_triple_support_mid_epoch_kill_restart(spark, tmp_path):
+    """Kill AFTER the epoch partial lands but BEFORE the streaming
+    checkpoint commits the batch -- the worst-case crash window for the
+    rollup. On restart from the same checkpoint, Spark replays the
+    uncommitted epoch; the replay dynamic-overwrites exactly its own
+    epoch partition, so the reduce equals the one-shot batch rollup
+    (no double-counting, no lost partial)."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wikidata_pq_spark.operators import graph
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    file1 = [
+        ("Q1", "likes", "Q2", "c1", 3),
+        ("Q1", "likes", "Q2", "c2", 5),
+        ("Q3", "knows", "Q4", "c1", 2),
+    ]
+    file2 = [
+        ("Q1", "likes", "Q2", "c3", 1),
+        ("Q5", "near", "Q6", "c4", 7),
+    ]
+    src = str(tmp_path / "triples_in")
+    d1 = spark.createDataFrame(pd.DataFrame(file1, columns=cols))
+    d2 = spark.createDataFrame(pd.DataFrame(file2, columns=cols))
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "support"), str(tmp_path / "ckpt")
+    crash_marker = tmp_path / "crashed_once"
+
+    def chaos_batch(batch_df, epoch_id):
+        # the real merge runs first: the partial IS on disk when we die
+        inc.merge_triple_support(batch_df, out, epoch_id, n_buckets=4)
+        if not crash_marker.exists():
+            crash_marker.write_text("x")
+            raise RuntimeError("injected crash after partial write")
+
+    def start():
+        stream = (
+            spark.readStream
+            .schema("subj string, pred string, obj string, conv_id string, turn_idx long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(chaos_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(120)
+    assert crash_marker.exists()  # died mid-epoch, partial written
+
+    # restart from the SAME checkpoint: the uncommitted epoch replays
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    full = graph.triple_support(d1.unionByName(d2)).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert (got["n_support"] == full["n_support"]).all()
+    assert (got["first_conv"] == full["first_conv"]).all()
+    assert (got["n_convs_est"] == full["n_convs"]).all()

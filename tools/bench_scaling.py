@@ -36,10 +36,23 @@ from wikidata_pq_spark import datagen
 from wikidata_pq_spark.operators import extract, linking, canonicalize
 
 cpus = int(sys.argv[1]); data_dir = sys.argv[2]; method = sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "local"
+if mode == "cluster":
+    # real executor JVMs + serialized shuffle over loopback: N cores =
+    # N/4 executors x 4 cores, the closest single-host analogue to the
+    # N -> 4N multi-executor premise (adds JVM-to-JVM block transfer
+    # and per-executor Python worker pools that local[N] threads hide)
+    n_exec = max(1, cpus // 4)
+    master = f"local-cluster[{{n_exec}},4,3072]"
+    extra = {{"spark.ui.showConsoleProgress": "false",
+              "spark.executor.memory": "3g"}}
+else:
+    master = f"local[{{cpus}}]"
+    extra = {{"spark.ui.showConsoleProgress": "false"}}
 spark = get_spark(
-    app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
+    app_name=f"scaling_{{mode}}_{{cpus}}", master=master,
     shuffle_partitions=max(cpus, 8),
-    extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+    extra_conf=extra,
 )
 tdf = spark.read.parquet(data_dir + "/transcripts")
 adf = spark.read.parquet(data_dir + "/alias_dict")
@@ -214,13 +227,20 @@ def main() -> None:
             return int(f.readline().split()[8])  # cpu ... steal
 
     all_runs = {}
-    for method in ("sql", "partitions"):
+    # (key, extraction method, deploy mode): the sql_cluster rows run the
+    # Catalyst path on local-cluster[N/4,4,3g] -- real executor JVMs and
+    # serialized shuffle over loopback, closer to the N -> 4N premise
+    # than threads sharing one JVM heap
+    CELLS = [("sql", "sql", "local"), ("partitions", "partitions", "local"),
+             ("sql_cluster", "sql", "cluster")]
+    for key, method, mode in CELLS:
         n_reps = reps
         results = []
         for cpus in (8, 32):
-            samples = list(prior.get((method, cpus), []))
+            samples = list(prior.get((key, cpus), []))
             for rep in range(n_reps):
-                print(f"method={method} local[{cpus}] rep {rep + 1}/{n_reps} (taskset 0-{cpus - 1}) ...")
+                label = f"local[{cpus}]" if mode == "local" else f"local-cluster[{cpus // 4},4,3g]"
+                print(f"method={key} {label} rep {rep + 1}/{n_reps} (taskset 0-{cpus - 1}) ...")
                 # CPU-affinity mask: local[N] alone is NOT an N-core
                 # workload -- Python UDF workers are extra processes
                 # beyond the N JVM task threads, so an unpinned local[8]
@@ -232,7 +252,7 @@ def main() -> None:
                 out = subprocess.run(
                     ["taskset", "-c", f"0-{cpus - 1}",
                      sys.executable, "-c", CHILD.format(repo=str(REPO)),
-                     str(cpus), data_dir, method],
+                     str(cpus), data_dir, method, mode],
                     capture_output=True, text=True, timeout=3600,
                 )
                 steal = read_steal() - s0
@@ -250,7 +270,7 @@ def main() -> None:
             results.append(best)
         r8, r32 = results
         eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (32 / 8)
-        all_runs[method] = {
+        all_runs[key] = {
             "runs": results,
             "efficiency": round(eff, 3),
             "efficiency_vs_hw_ceiling": round(eff / hw["ceiling_8_to_32"], 3),
@@ -275,6 +295,10 @@ def main() -> None:
         eff = all_runs[method]["efficiency"]
         effn = all_runs[method]["efficiency_vs_hw_ceiling"]
         effm = all_runs[method]["efficiency_vs_mem_ceiling"]
+        if method == "sql_cluster":
+            lab8, lab32 = "local-cluster[2,4,3g] (N)", "local-cluster[8,4,3g] (4N)"
+        else:
+            lab8, lab32 = "local[8]  (N)", "local[32] (4N)"
         # Pre-registered pass threshold: >= 0.8 of the measured CPU-only
         # ceiling. The memory-bandwidth ceiling is reported as CONTEXT
         # for why a streaming job on one memory controller lands below
@@ -299,8 +323,8 @@ def main() -> None:
 
 | parallelism | wall sec (min of reps) | n reps | triples/sec | turns/sec |
 |---|---|---|---|---|
-| local[8]  (N)  | {r8["sec"]} | {len(r8["reps"])} | {r8["triples_per_sec"]} | {r8["turns_per_sec"]} |
-| local[32] (4N) | {r32["sec"]} | {len(r32["reps"])} | {r32["triples_per_sec"]} | {r32["turns_per_sec"]} |
+| {lab8}  | {r8["sec"]} | {len(r8["reps"])} | {r8["triples_per_sec"]} | {r8["turns_per_sec"]} |
+| {lab32} | {r32["sec"]} | {len(r32["reps"])} | {r32["triples_per_sec"]} | {r32["turns_per_sec"]} |
 
 Scaling efficiency (T_4N/T_N)/4 = **{eff:.3f}** raw;
 **{effn:.3f}** of the CPU-only ceiling; **{effm:.1f}x** the
@@ -361,17 +385,24 @@ Corpus: {n_convs} conversations x ~{mean_turns} mean turns
 ({r8["turns"]} turns, {r8["triples"]} distinct triples), deterministic
 seed 42, Zipf-skewed entities and conversation lengths.
 
-Two extraction implementations are measured (identical output, tested):
+Three cells are measured (extraction output identical, tested):
 
 - `sql` -- pure-Catalyst regexp_extract_all + window coreference;
-  whole-stage-codegen end to end, no Python.
+  whole-stage-codegen end to end, no Python; `local[N]` threads.
 - `partitions` -- the Arrow pandas-UDF path (mapInPandas with
   conversation carry). Its JVM<->Python Arrow serde is a fixed
   per-row cost bound by the single host's memory bus; on a real
   4N-executor cluster the serde runs on 4x the machines, so the `sql`
   row is the faithful proxy for cluster scaling and the `partitions`
   row is a conservative single-box lower bound.
-{table("sql")}{table("partitions")}
+- `sql_cluster` -- the same Catalyst job on `local-cluster[N/4,4,3g]`:
+  REAL executor JVMs (2 vs 8) with serialized shuffle blocks over
+  loopback and per-executor Python worker pools -- the closest
+  single-host analogue to multi-executor deployment. It exercises
+  executor-to-executor transfer that local[N]'s shared-heap threads
+  skip, while still sharing one memory controller (so the ceilings
+  above still bound it).
+{table("sql")}{table("partitions")}{table("sql_cluster")}
 Reproduce: `python tools/bench_scaling.py {n_convs} {mean_turns} [reps]`
 (first run generates `.bench_data/`, subsequent runs reuse it).
 """

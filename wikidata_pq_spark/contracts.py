@@ -971,6 +971,16 @@ def q_curate_corpus(spark, sf):
     return curation.curate_corpus(load(spark, sf, "documents"), quality_min=0.45)
 
 
+def q_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing metadata (GPT-style training
+    layout): per-shard running token offsets and the fixed-size context
+    chunks each document spans. One window per shard, no global sort,
+    all integer math -- the oracle reproduces it bit-for-bit."""
+    from .operators import curation
+
+    return curation.pack_chunks(load(spark, sf, "documents"), max_len=64)
+
+
 def q_triple_support(spark, sf):
     """Provenance rollup over the full KG chain's triples: support
     count, distinct source conversations, first sighting per (subj,
@@ -1077,7 +1087,7 @@ QUERIES = {
 # All 15 keep full row-count + schema + value-hash coverage under the
 # driver-identical local gate (tools/check_contract.py runs QUERIES
 # then EXTRA_QUERIES; tests/test_contracts.py runs EXTRA_QUERIES at
-# sf0.001 in pytest every round).
+# the gate sf (0.01) in pytest every round).
 EXTRA_QUERIES = {
     "a2_distinct_orders": q_distinct_orders,
     "a3_min_open_order": q_min_open_order,
@@ -1094,6 +1104,9 @@ EXTRA_QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh,
     "text_fingerprint": q_fingerprint,
     "mm_resize_plan": q_media_resize,
+    # -- r4 additions (born outside the window; full local-gate + pytest
+    #    coverage, window seats stay with the one-per-family picks)
+    "x_pack_chunks": q_pack_chunks,
 }
 
 # --------------------------------------------------------------------------
@@ -1808,5 +1821,27 @@ ORACLE_SQL = {
                json_extract_string(labels, '$.' || key || '.language') AS language,
                json_extract_string(labels, '$.' || key || '.value') AS value
         FROM kx
+    """,
+    # -- concat-and-chunk packing: the same per-shard running-sum
+    #    window + integer chunk arithmetic, reproduced exactly
+    "x_pack_chunks": f"""
+        WITH t AS (
+          SELECT lang, doc_id, len({_TOKS}) AS n_tokens FROM documents),
+        c AS (
+          SELECT lang, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS end_off
+          FROM t)
+        SELECT lang, doc_id, n_tokens,
+               CAST(end_off - n_tokens AS BIGINT) AS start_off,
+               CAST((end_off - n_tokens) // 64 AS BIGINT) AS first_chunk,
+               CAST(CASE WHEN n_tokens > 0 THEN (end_off - 1) // 64
+                         ELSE (end_off - n_tokens) // 64 END AS BIGINT)
+                 AS last_chunk,
+               CAST(CASE WHEN n_tokens > 0 THEN (end_off - 1) // 64
+                         ELSE (end_off - n_tokens) // 64 END
+                    - (end_off - n_tokens) // 64 + 1 AS BIGINT) AS n_chunks
+        FROM c
     """,
 }

@@ -73,3 +73,60 @@ def curate_corpus(
         .filter((F.col("quality") >= quality_min) & (F.col("rep_ratio") <= rep_max))
         .select(id_col, "lang", "split", "quality", "rep_ratio")
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    max_len: int = 512,
+    shard_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are concatenated in deterministic (shard, id)
+    order and cut into fixed ``max_len``-token context windows;
+    documents may straddle a cut.
+
+    Output per document: its token count, its starting offset in the
+    shard's token stream, the first/last chunk ids it lands in, and how
+    many chunks it spans -- the shuffle-free metadata a packer needs to
+    emit training examples.
+
+    Scale shape: ONE window (running sum of token counts) partitioned by
+    the shard key -- there is deliberately no global ordering, which
+    would serialize the corpus through a single reducer at 100 TB.
+    Shards (language here; any bounded-size key works) pack
+    independently, exactly how multi-file training shards are laid out
+    in practice. All integer arithmetic, so the DuckDB oracle
+    reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import text as TX
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        shard_col, id_col, F.size(TX.tokens(F.col(text_col))).alias("n_tokens")
+    )
+    cum = toks.withColumn("end_off", F.sum("n_tokens").over(w)).withColumn(
+        "start_off", (F.col("end_off") - F.col("n_tokens")).cast("long")
+    )
+    first_chunk = F.floor(F.col("start_off") / max_len)
+    # last token of the doc sits at end_off - 1; empty docs occupy no
+    # tokens and are pinned to their start chunk (span 1)
+    last_chunk = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("end_off") - 1) / max_len)
+    ).otherwise(first_chunk)
+    return cum.select(
+        shard_col,
+        id_col,
+        "n_tokens",
+        "start_off",
+        first_chunk.cast("long").alias("first_chunk"),
+        last_chunk.cast("long").alias("last_chunk"),
+        (last_chunk - first_chunk + 1).cast("long").alias("n_chunks"),
+    )

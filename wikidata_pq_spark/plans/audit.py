@@ -1,0 +1,195 @@
+"""Physical-plan audit: the plans we claim are the plans we get.
+
+Two consumers share this module:
+
+- ``tools/explain_audit.py`` -- live CLI sweep (prints ok/FAIL per
+  query, exits nonzero on any failure).
+- ``tests/test_plan_goldens.py`` -- pytest regression guard: each
+  audited query's PLAN SIGNATURE (the ordered list of physical operator
+  names, stripped of expression ids / paths / partition counts) is
+  pinned to a golden file, so a Spark upgrade or code change that flips
+  e.g. a BroadcastHashJoin to SortMergeJoin fails in CI, not only when
+  the audit CLI is run by hand.
+
+Checks are scale assertions, not style: pushdown reached the scan,
+dimension joins broadcast, hot paths are Python-free, and nothing
+anywhere degenerates to CartesianProduct / BroadcastNestedLoopJoin
+except the intentional ANN brute-force cross join.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+CHECKS = {
+    # name: (must_contain regexes, must_not_contain regexes)
+    "a1_pricing_summary": (
+        # formatted mode under AQE shows the pre-final plan (no codegen
+        # spans); pushdown + pruned ReadSchema are the assertions
+        [r"PushedFilters: \[IsNotNull\(l_shipdate\)", r"ReadSchema:[^\n]*l_returnflag", r"HashAggregate"],
+        [r"SortMergeJoin"],
+    ),
+    "q3_shipping_priority": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    "q5_region_revenue": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+    ),
+    # j1 final form: single explode fused into a two-level aggregate
+    # (the probe/lookup equi-join collapses; see contracts.q_rowid_token_join)
+    "j1_rowid_token_join": ([r"\) Generate", r"HashAggregate"], [r"CartesianProduct", r"Join"]),
+    "dedup_token_jaccard": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], []),
+    "ann_topk_bruteforce": ([r"BroadcastNestedLoopJoin|BroadcastHashJoin"], []),
+    "w1_topk_per_group": ([r"Window"], []),
+    # default KG path: pure Catalyst -- NO Python in the plan at all
+    "kg_triples": (
+        [r"Generate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # Arrow path kept contract-covered: mapInPandas + broadcast joins
+    "kg_triples_arrow": ([r"MapInPandas", r"BroadcastHashJoin"], [r"CartesianProduct"]),
+    # composed near-dup: banding aggregates + candidate equi-joins only
+    "dedup_near_dup": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "flatten_claims_fourbranch": (
+        [r"Generate", r"Union"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # bounded BFS: frontier equi-joins only, never a cartesian
+    "graph_khop": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # IVF: centroid assignment is a projection; candidate join is a
+    # broadcast of the (tiny) probe side onto the bucketed corpus
+    "ann_ivf": (
+        [r"BroadcastHashJoin", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # multimodal plans: Arrow mapInPandas, no joins at all
+    "mm_frame_sample": ([r"MapInPandas"], [r"Join"]),
+    # correlated scalar subquery must DECORRELATE to aggregate + joins
+    "q17_small_quantity": (
+        [r"HashAggregate", r"Join"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # decontamination: eval n-gram set broadcast onto one corpus pass
+    "x_decontaminate_ngrams": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas"],
+    ),
+    # passage dedup: explode + digest groupBy only, no joins at all
+    # (min(struct) survivor pick lowers to SortAggregate -- still a
+    # partial-merge aggregate, just not hash-buffered)
+    "dedup_chunk_spans": ([r"Generate", r"HashAggregate|SortAggregate"], [r"Join"]),
+    # fuzzy ER: inverted-index equi-join + argmax window, no cartesian
+    "kg_fuzzy_link": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # provenance rollup on the Python-free default chain
+    "kg_triple_support": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # concat-and-chunk packing: ONE per-shard window, no global sort,
+    # no join, no Python (a global orderBy here would serialize the
+    # corpus through a single reducer at 100 TB)
+    "x_pack_chunks": (
+        [r"Window"],
+        # "], true, 0" is a Sort node's global=true argument signature
+        [r"Join", r"MapInPandas", r"BatchEvalPython", r"\], true, 0"],
+    ),
+}
+
+
+def _graph_khop_raw(spark, sf):
+    """k_hop truncates lineage per hop (localCheckpoint), which hides
+    the per-hop join shape behind checkpoint scans; audit the
+    untruncated plan."""
+    import pyspark.sql.functions as F
+
+    from .. import contracts
+    from ..operators import graph
+
+    c = contracts.load(spark, sf, "customer")
+    edges = c.filter(F.col("c_custkey") % 10 != 9).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
+    )
+    seeds = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("node_id")
+    )
+    return graph.k_hop(edges, seeds, k=2, truncate_lineage=False)
+
+
+def _flatten_claims_raw(spark, sf):
+    """The contract query memoizes the flattened frame behind a
+    localCheckpoint (its audited plan would be a bare RDD scan); audit
+    the underlying four-branch flatten plan instead -- that is the
+    plan shape the check is about."""
+    from .. import contracts
+    from ..operators import flatten
+
+    er = contracts._entity_rows(sf)
+    return flatten.flatten_claims(spark.createDataFrame(er))
+
+
+BUILDERS = {
+    "flatten_claims_fourbranch": _flatten_claims_raw,
+    "graph_khop": _graph_khop_raw,
+}
+
+
+def build(spark: SparkSession, name: str, sf: str) -> DataFrame:
+    """The audited DataFrame for a check name (raw builder where the
+    contract query hides its plan behind a checkpoint)."""
+    from .. import contracts
+
+    if name in BUILDERS:
+        return BUILDERS[name](spark, sf)
+    fn = contracts.QUERIES.get(name) or contracts.EXTRA_QUERIES[name]
+    return fn(spark, sf)
+
+
+def plan_text(df: DataFrame) -> str:
+    """The formatted physical plan, as a string."""
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+# formatted-plan tree lines look like "+- BroadcastHashJoin Inner
+# BuildRight (17)" / ":- Filter (7)" / "Scan parquet  (1)"; the node
+# name is everything before the trailing "(id)"
+_NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$", re.M)
+
+
+def plan_signature(plan: str) -> list[str]:
+    """Ordered physical-operator names, stripped of everything unstable
+    (expression ids, file paths, partition counts, sizes). This is what
+    the golden files pin: a join-strategy or shuffle-shape flip changes
+    the signature; renamed columns or a different sf do not."""
+    ops = _NODE_RE.findall(plan)
+    # AQE wrapper and scan qualifiers stay (they are stable and
+    # meaningful); trailing whitespace in "Scan parquet " is not
+    return [op.strip() for op in ops]
+
+
+def audit_one(plan: str, must: list[str], must_not: list[str]) -> list[str]:
+    """Regex assertions for one query; returns a list of problems."""
+    problems = []
+    for pat in must:
+        if not re.search(pat, plan):
+            problems.append(f"missing /{pat}/")
+    for pat in must_not:
+        if re.search(pat, plan):
+            problems.append(f"forbidden /{pat}/ present")
+    return problems
