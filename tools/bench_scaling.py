@@ -321,10 +321,13 @@ def main() -> None:
         return f"""
 ### method={method}
 
-| parallelism | wall sec (min of reps) | n reps | triples/sec | turns/sec |
-|---|---|---|---|---|
-| {lab8}  | {r8["sec"]} | {len(r8["reps"])} | {r8["triples_per_sec"]} | {r8["turns_per_sec"]} |
-| {lab32} | {r32["sec"]} | {len(r32["reps"])} | {r32["triples_per_sec"]} | {r32["turns_per_sec"]} |
+| parallelism | wall sec (min of reps) | n reps | steal ticks @ min | triples/sec | turns/sec |
+|---|---|---|---|---|---|
+| {lab8}  | {r8["sec"]} | {len(r8["reps"])} | {r8["steal_ticks"]} | {r8["triples_per_sec"]} | {r8["turns_per_sec"]} |
+| {lab32} | {r32["sec"]} | {len(r32["reps"])} | {r32["steal_ticks"]} | {r32["triples_per_sec"]} | {r32["turns_per_sec"]} |
+
+(A high steal count on the minimum rep means that cell has not yet seen
+a clean hypervisor window: its efficiency reading is a LOWER bound.)
 
 Scaling efficiency (T_4N/T_N)/4 = **{eff:.3f}** raw;
 **{effn:.3f}** of the CPU-only ceiling; **{effm:.1f}x** the

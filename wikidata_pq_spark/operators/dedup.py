@@ -344,14 +344,21 @@ def near_dup_pairs(
     # bounded cache: at most ONE persisted token frame lives at a time
     # -- a loop over corpora would otherwise pin one block set per call
     # for the session lifetime. Unpersisting the previous frame is
-    # always safe: consumers recompute through lineage.
+    # always safe: consumers recompute through lineage. Session-identity
+    # guard: only unpersist a frame belonging to THIS application --
+    # after a session restart the old frame's JVM is gone and its
+    # blocks with it (the try/except would swallow the error, but not
+    # relying on dead-context exceptions is the point).
+    app = df.sparkSession.sparkContext.applicationId
     prev = _LAST_TOKEN_FRAME.pop("df", None)
-    if prev is not None:
+    prev_app = _LAST_TOKEN_FRAME.pop("app", None)
+    if prev is not None and prev_app == app:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass
     _LAST_TOKEN_FRAME["df"] = tok
+    _LAST_TOKEN_FRAME["app"] = app
     cands = minhash_lsh_candidates(
         df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col,
         id_col=id_col, tokens_df=tok,

@@ -87,11 +87,14 @@ def _broadcast_matrix(mat: "np.ndarray"):
     sess = SparkSession.getActiveSession()
     if sess is None:
         return None
-    key = (
-        id(sess.sparkContext),
-        mat.shape,
-        hashlib.md5(mat.tobytes()).hexdigest(),
-    )
+    # applicationId (not id(sc)) as the context key: python id()s are
+    # reused after GC, so a restarted session could collide with a dead
+    # context's entry and hand back a broadcast whose JVM is gone
+    app = sess.sparkContext.applicationId
+    for k in list(_BROADCAST_CACHE):
+        if k[0] != app:  # entries of stopped contexts: broadcast died
+            del _BROADCAST_CACHE[k]  # with its JVM; just drop the ref
+    key = (app, mat.shape, hashlib.md5(mat.tobytes()).hexdigest())
     bc = _BROADCAST_CACHE.get(key)
     if bc is None:
         bc = sess.sparkContext.broadcast(mat)
