@@ -113,7 +113,10 @@ def repetition_stats(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
     ).select(
         F.col(id_col),
-        total.alias("n_ngrams"),
-        distinct.alias("n_distinct"),
+        # long, not int: DuckDB len() yields BIGINT and the driver's
+        # value hash does not normalize across integer widths' pandas
+        # dtypes -- keep both sides int64
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
         ratio.alias("rep_ratio"),
     )
