@@ -83,6 +83,8 @@ SF_GATE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def con_gate():
+    if not os.path.exists(SF_GATE):
+        pytest.skip("gate-sf testdata not present")
     c = duckdb.connect()
     for t in contracts.TABLES:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_GATE}/{t}.parquet'")

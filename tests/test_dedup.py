@@ -193,9 +193,9 @@ def test_curate_corpus_composition(spark):
 def test_pack_chunks_straddle_and_shards(spark):
     """Hand-computed packing: shard A streams 5+3+4=12 tokens into
     4-token chunks (doc 0 fills chunk 0 and straddles into 1; doc 2
-    starts mid-chunk 1 and ends in chunk 1; doc 4 straddles 2->3);
-    shard B packs independently from offset 0; an empty doc occupies no
-    tokens and pins to its start chunk."""
+    starts mid-chunk 1 and ends in chunk 1; doc 4 fills chunk 2
+    exactly); shard B packs independently from offset 0; an empty doc
+    occupies no tokens and pins to its start chunk."""
     import pandas as pd
 
     from wikidata_pq_spark.operators import curation

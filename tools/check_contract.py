@@ -65,7 +65,8 @@ def main():
     from wikidata_pq_spark import contracts
 
     # driver-exported window first (what CORRECTNESS_r{N} sees), then the
-    # retired sibling cells -- identical gate, full 65-query sweep
+    # retired sibling cells -- identical gate, full 66-query sweep
+    # (50 QUERIES + 16 EXTRA_QUERIES)
     qs = dict(entry.queries())
     qs.update(contracts.EXTRA_QUERIES)
     oracles = dict(entry.oracle_sql())

@@ -661,16 +661,19 @@ def q_media_features(spark, sf):
     container size formula (54 + 4-byte-padded stride * height) in SQL
     without rebuilding the bytes. Odd ids keep the codec-less fake path
     (md5 checksum + hex-fold dims), also fully SQL-recomputed."""
-    media = multimodal.attach_media(load(spark, sf, "documents"))
+    docs = load(spark, sf, "documents")
+    # pre-filter by id parity so each branch's attach_media only
+    # synthesizes ITS payloads (a post-attach media_type filter would
+    # run the Python BMP generation twice over the full table)
     real = multimodal.decode_real(
-        media.filter(F.col("media_type") == "image/bmp")
+        multimodal.attach_media(docs.filter(F.col("doc_id") % 2 == 0))
     ).select(
         "doc_id", "media_type", "n_bytes",
         F.lit(None).cast("string").alias("checksum"),
         "width", "height", "bpp", "first_px",
     )
     fake = multimodal.decode_features(
-        media.filter(F.col("media_type") != "image/bmp")
+        multimodal.attach_media(docs.filter(F.col("doc_id") % 2 == 1))
     ).select(
         "doc_id", "media_type", "n_bytes", "checksum",
         F.col("fake_width").alias("width"),

@@ -168,8 +168,14 @@ def plan_text(df: DataFrame) -> str:
 
 # formatted-plan tree lines look like "+- BroadcastHashJoin Inner
 # BuildRight (17)" / ":- Filter (7)" / "Scan parquet  (1)"; the node
-# name is everything before the trailing "(id)"
-_NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$", re.M)
+# name is everything before the trailing "(id)". The body class is
+# deliberately wide ([^\n]) so nodes with qualified names -- "Scan
+# parquet spark_catalog.default.t", "ReusedExchange [id=#24]" -- still
+# register in the signature instead of silently vanishing from the
+# golden; detail-section attribute lines ("Arguments: ...", "Input
+# [2]: ...") are excluded afterwards by their "key: value" shape,
+# which no tree node name has.
+_NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][^\n]*?)\s*\(\d+\)\s*$", re.M)
 
 
 def plan_signature(plan: str) -> list[str]:
@@ -179,8 +185,10 @@ def plan_signature(plan: str) -> list[str]:
     the signature; renamed columns or a different sf do not."""
     ops = _NODE_RE.findall(plan)
     # AQE wrapper and scan qualifiers stay (they are stable and
-    # meaningful); trailing whitespace in "Scan parquet " is not
-    return [op.strip() for op in ops]
+    # meaningful); trailing whitespace in "Scan parquet " is not.
+    # "key: value" attribute lines from the detail section are not
+    # operators -- drop them.
+    return [op.strip() for op in ops if ": " not in op]
 
 
 def audit_one(plan: str, must: list[str], must_not: list[str]) -> list[str]:
