@@ -974,6 +974,20 @@ def q_curate_corpus(spark, sf):
     return curation.curate_corpus(load(spark, sf, "documents"), quality_min=0.45)
 
 
+def q_exact_quantiles(spark, sf):
+    """A-family: exact grouped quantiles (median + p95) via Spark's
+    `percentile` (exact linear interpolation -- the scale path would be
+    approx_percentile, whose t-digest is engine-specific and thus not
+    oracle-checkable; the exact form IS, since DuckDB's quantile_cont
+    uses the same interpolation definition)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_pack_chunks(spark, sf):
     """Concat-and-chunk sequence packing metadata (GPT-style training
     layout): per-shard running token offsets and the fixed-size context
@@ -1110,6 +1124,7 @@ EXTRA_QUERIES = {
     # -- r4 additions (born outside the window; full local-gate + pytest
     #    coverage, window seats stay with the one-per-family picks)
     "x_pack_chunks": q_pack_chunks,
+    "a_exact_quantiles": q_exact_quantiles,
 }
 
 # --------------------------------------------------------------------------
@@ -1846,5 +1861,14 @@ ORACLE_SQL = {
                          ELSE (end_off - n_tokens) // 64 END
                     - (end_off - n_tokens) // 64 + 1 AS BIGINT) AS n_chunks
         FROM c
+    """,
+    # -- exact grouped quantiles: quantile_cont matches Spark
+    #    percentile's linear-interpolation definition
+    "a_exact_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
