@@ -223,3 +223,24 @@ def test_pack_chunks_straddle_and_shards(spark):
     assert out.loc[1, "start_off"] == 0
     # '' tokenizes to one empty token under the shared tokenizer mirror
     assert out.loc[3, "n_tokens"] == 1 and out.loc[3, "start_off"] == 3
+
+
+def test_redact_pii_patterns(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import curation
+
+    rows = [
+        (0, "mail me at a.b+c@test.org or x@y.io thanks"),
+        (1, "call 555-123-4567 and 555 987 6543 today"),
+        (2, "server at 192.168.0.1 responded"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = curation.redact_pii(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2 and "<EMAIL>" in out.loc[0, "red_text"]
+    assert "@" not in out.loc[0, "red_text"]
+    assert out.loc[1, "n_phone"] == 2 and out.loc[1, "red_text"].count("<PHONE>") == 2
+    assert out.loc[2, "n_ipv4"] == 1 and "<IP>" in out.loc[2, "red_text"]
+    assert not out.loc[3, "had_pii"]
+    assert out.loc[3, "red_text"] == "nothing sensitive here"

@@ -102,3 +102,45 @@ def test_triple_support(spark):
     # first sighting = lexicographic (conv_id, turn_idx) min
     assert out.loc["Q1", "first_conv"] == "c0" and out.loc["Q1", "first_turn"] == 9
     assert out.loc["Q3", "n_support"] == 1 and out.loc["Q3", "first_turn"] == 1
+
+
+def test_comention_edges_pairs(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    rows = [
+        ("c1", "alice", "bob"),
+        ("c1", "bob", "carol"),     # c1 entities: alice, bob, carol
+        ("c2", "alice", "bob"),     # c2 entities: alice, bob
+        ("c3", "dave", "dave"),     # single entity: no pair
+    ]
+    m = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "subj_mention", "obj_mention"])
+    )
+    out = graph.comention_edges(m).toPandas()
+    got = {(r["a"], r["b"]): r["n_convs"] for _, r in out.iterrows()}
+    assert got == {
+        ("alice", "bob"): 2,       # c1 and c2
+        ("alice", "carol"): 1,     # c1
+        ("bob", "carol"): 1,       # c1
+    }
+    assert graph.comention_edges(m, min_count=2).count() == 1
+
+
+def test_negative_samples_deterministic(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    t = spark.createDataFrame(pd.DataFrame(
+        [("Q1", "likes", "Q2"), ("Q3", "knows", "Q4")],
+        columns=["subj", "pred", "obj"]))
+    ents = spark.createDataFrame(pd.DataFrame(
+        {"entity_id": ["Q1", "Q2", "Q3", "Q4", "Q5"]}))
+    a = graph.negative_samples(t, ents).toPandas().sort_values("subj").reset_index(drop=True)
+    b = graph.negative_samples(t, ents).toPandas().sort_values("subj").reset_index(drop=True)
+    assert a.equals(b)  # same draw every run (content-hashed, no rand())
+    assert set(a["neg_obj"]) <= {"Q1", "Q2", "Q3", "Q4", "Q5"}
+    # degenerate flag is consistent with the draw
+    assert ((a["neg_obj"] == a["obj"]) == a["degenerate"]).all()

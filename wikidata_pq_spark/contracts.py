@@ -974,6 +974,72 @@ def q_curate_corpus(spark, sf):
     return curation.curate_corpus(load(spark, sf, "documents"), quality_min=0.45)
 
 
+def q_redact_pii(spark, sf):
+    """PII scrubbing over documents. The synthetic corpus carries no
+    PII, so the query first SPIKES deterministic emails / phone numbers
+    / IPs into the text by doc_id residue -- the redaction then has
+    real work to do, and the oracle replays both the spike and the
+    (dual-engine-safe) regex chain in SQL."""
+    from .operators import curation
+
+    d = load(spark, sf, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit(" call 555-123-4567 or ping 10.0."),
+                         (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.redact_pii(spiked)
+
+
+def q_comention_edges(spark, sf):
+    """Entity co-mention graph from the Catalyst extraction chain.
+    Oracle: the independent pandas oracle's mention set (exported at
+    the gate sf by THIS query, so the artifact is always fresh) run
+    through the same distinct -> self-join -> pair-count recomposition
+    in SQL."""
+    from .operators import graph
+
+    tr, _, _ = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_extract(tr), "comention_mentions_golden")
+    mentions = extract.extract_mentions(spark.createDataFrame(tr))
+    return graph.comention_edges(mentions, min_count=2)
+
+
+def q_negative_samples(spark, sf):
+    """Deterministic negative sampling over the full Catalyst triple
+    chain. Oracle: the pandas oracle's triples + entity vocabulary
+    (both exported fresh at the gate sf) with the md5-derived draw and
+    ranked-vocabulary join recomputed in SQL."""
+    from .operators import graph
+
+    tr, ents, sa = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "negsamp_triples_golden")
+        _export_golden(ents[["entity_id"]].drop_duplicates(), "negsamp_vocab")
+    mentions = extract.extract_mentions(spark.createDataFrame(tr))
+    linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
+    comps = canonicalize.connected_components(spark.createDataFrame(sa))
+    triples = (
+        canonicalize.apply_canonical(linked, comps)
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    return graph.negative_samples(triples, spark.createDataFrame(ents))
+
+
 def q_exact_quantiles(spark, sf):
     """A-family: exact grouped quantiles (median + p95) via Spark's
     `percentile` (exact linear interpolation -- the scale path would be
@@ -1125,6 +1191,9 @@ EXTRA_QUERIES = {
     #    coverage, window seats stay with the one-per-family picks)
     "x_pack_chunks": q_pack_chunks,
     "a_exact_quantiles": q_exact_quantiles,
+    "x_redact_pii": q_redact_pii,
+    "kg_comention_edges": q_comention_edges,
+    "kg_negative_samples": q_negative_samples,
 }
 
 # --------------------------------------------------------------------------
@@ -1861,6 +1930,69 @@ ORACLE_SQL = {
                          ELSE (end_off - n_tokens) // 64 END
                     - (end_off - n_tokens) // 64 + 1 AS BIGINT) AS n_chunks
         FROM c
+    """,
+    # -- PII spike + redaction chain replayed verbatim (RE2 == Java
+    #    regex on this pattern subset; 'g' flag = Spark's replace-all)
+    "x_redact_pii": """
+        WITH spiked AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 3 = 0
+                     THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   WHEN doc_id % 3 = 1
+                     THEN ' call 555-123-4567 or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   ELSE '' END AS t
+          FROM documents),
+        counted AS (
+          SELECT doc_id, t,
+                 CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(t, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phone,
+                 CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4
+          FROM spiked)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS red_text,
+               n_email, n_phone, n_ipv4,
+               (n_email + n_phone + n_ipv4) > 0 AS had_pii
+        FROM counted
+    """,
+    # -- co-mention pairs recomposed from the independent pandas
+    #    oracle's mention set (exported fresh by the query itself)
+    "kg_comention_edges": f"""
+        WITH m AS (SELECT conv_id, subj_mention, obj_mention
+                   FROM read_parquet('{_export_path("comention_mentions_golden")}')),
+        e AS (
+          SELECT DISTINCT conv_id, e FROM (
+            SELECT conv_id, subj_mention AS e FROM m
+            UNION ALL SELECT conv_id, obj_mention AS e FROM m)),
+        p AS (
+          SELECT x.e AS a, y.e AS b
+          FROM e x JOIN e y ON x.conv_id = y.conv_id AND x.e < y.e)
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_convs
+        FROM p GROUP BY a, b HAVING count(*) >= 2
+    """,
+    # -- negative sampling: md5 hex-fold draw + ranked-vocab join,
+    #    all re-derived in SQL over the exported golden triples/vocab
+    "kg_negative_samples": f"""
+        WITH t AS (SELECT DISTINCT subj, pred, obj
+                   FROM read_parquet('{_export_path("negsamp_triples_golden")}')),
+        v AS (SELECT DISTINCT entity_id AS neg_obj
+              FROM read_parquet('{_export_path("negsamp_vocab")}')),
+        vi AS (SELECT neg_obj,
+                      row_number() OVER (ORDER BY neg_obj) - 1 AS vidx
+               FROM v),
+        n AS (SELECT count(*) AS n FROM v),
+        d AS (SELECT subj, pred, obj,
+                CAST(list_sum(list_transform(
+                    regexp_extract_all(substr(md5(subj || '|' || pred || '|' || obj), 1, 8), '.'),
+                    (ch, i) -> (strpos('0123456789abcdef', ch) - 1)
+                               * (16 ** (8 - i)))) AS BIGINT) % (SELECT n FROM n) AS vidx
+              FROM t)
+        SELECT subj, pred, obj, neg_obj, (neg_obj = obj) AS degenerate
+        FROM d JOIN vi USING (vidx)
     """,
     # -- exact grouped quantiles: quantile_cont matches Spark
     #    percentile's linear-interpolation definition

@@ -130,3 +130,37 @@ def pack_chunks(
         last_chunk.cast("long").alias("last_chunk"),
         (last_chunk - first_chunk + 1).cast("long").alias("n_chunks"),
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, \b supported by both.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rule-based PII scrubbing (the pre-training redaction stage):
+    chained regexp_replace for emails, phone numbers and IPv4s, plus a
+    per-class hit count BEFORE redaction.
+
+    Pure Catalyst -- at 100 TB this is a map-only pass fused into the
+    scan (no shuffle at all); the patterns are the dual-engine-safe
+    subset (Java regex + RE2), so the DuckDB oracle replays them
+    verbatim.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("red_text"))
+    counts = []
+    for name, pat, _ in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col("red_text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+    out = out.select(F.col(id_col), "red_text", *counts)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn("red_text", F.regexp_replace("red_text", pat, token))
+    return out.select(
+        id_col, "red_text", "n_email", "n_phone", "n_ipv4",
+        ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).alias("had_pii"),
+    )

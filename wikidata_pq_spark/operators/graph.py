@@ -123,3 +123,62 @@ def triple_support(triples: DataFrame) -> DataFrame:
             F.col("_first.turn_idx").alias("first_turn"),
         )
     )
+
+
+def comention_edges(mentions: DataFrame, min_count: int = 1) -> DataFrame:
+    """Entity co-mention edge list: (a, b, n_convs) for entities that
+    appear in the same conversation, a < b lexicographically.
+
+    Input: mention rows with (conv_id, subj_mention, obj_mention).
+    Shape: distinct (conv_id, entity) -> self equi-join ON conv_id ->
+    pair counts. Quadratic only WITHIN a conversation's distinct-entity
+    set (bounded and small); the join key is conv_id so skewed
+    conversations are AQE-splittable. This is the standard
+    co-occurrence-graph builder for entity-embedding training data.
+    """
+    ents = (
+        mentions.select(F.col("conv_id"), F.col("subj_mention").alias("e"))
+        .unionByName(mentions.select("conv_id", F.col("obj_mention").alias("e")))
+        .distinct()
+    )
+    a = ents.select("conv_id", F.col("e").alias("a"))
+    b = ents.select("conv_id", F.col("e").alias("b"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+        .filter(F.col("n_convs") >= min_count)
+    )
+
+
+def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training: each
+    (subj, pred, obj) gets a corrupted object drawn by content hash
+    from the entity vocabulary.
+
+    The draw index is md5-derived (dual-engine recomputable, unlike
+    xxhash64) over the triple key, mod vocabulary size; the vocabulary
+    is rank-indexed with a window over a BOUNDED dimension table and
+    broadcast for the index equi-join. Degenerate draws (neg == true
+    object) are marked, not silently dropped -- the training pipeline
+    decides whether to resample or skip.
+    """
+    from pyspark.sql import Window
+
+    vocab = entities.select(F.col("entity_id").alias("neg_obj")).distinct()
+    n = vocab.count()  # dimension-table size: driver scalar by design
+    idx = Window.orderBy("neg_obj")
+    vocab_idx = vocab.withColumn("vidx", F.row_number().over(idx) - 1)
+    key = F.concat_ws("|", "subj", "pred", "obj")
+    draw = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n
+    ).alias("vidx")
+    return (
+        triples.select("subj", "pred", "obj", draw)
+        .join(F.broadcast(vocab_idx), "vidx")
+        .select(
+            "subj", "pred", "obj", "neg_obj",
+            (F.col("neg_obj") == F.col("obj")).alias("degenerate"),
+        )
+    )
