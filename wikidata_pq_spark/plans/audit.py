@@ -106,6 +106,23 @@ CHECKS = {
         # "], true, 0" is a Sort node's global=true argument signature
         [r"Join", r"MapInPandas", r"BatchEvalPython", r"\], true, 0"],
     ),
+    # PII redaction: map-only -- fuses into the scan, ZERO shuffles
+    "x_redact_pii": (
+        [r"Project", r"Scan parquet"],
+        [r"Exchange", r"Join", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # co-mention graph: conv-keyed equi self-join + pair counts, never
+    # a cartesian, all Catalyst
+    "kg_comention_edges": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # negative sampling: broadcast vocab-index join onto the triple
+    # chain; the only Window is the BOUNDED vocabulary ranking
+    "kg_negative_samples": (
+        [r"BroadcastHashJoin", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 
