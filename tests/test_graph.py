@@ -144,3 +144,51 @@ def test_negative_samples_deterministic(spark):
     assert set(a["neg_obj"]) <= {"Q1", "Q2", "Q3", "Q4", "Q5"}
     # degenerate flag is consistent with the draw
     assert ((a["neg_obj"] == a["obj"]) == a["degenerate"]).all()
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank == dense numpy power iteration (same damping,
+    same uniform dangling redistribution) on a graph WITH a dangling
+    node and a cycle, to 1e-9."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    #   0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2, and node 4... absent:
+    #   dangling = node with no out-edges: 4 via 2 -> 4
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edf = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src_id", "dst_id"])
+    )
+    got = (
+        graph.pagerank(edf, damping=0.85, iters=20)
+        .toPandas().set_index("node_id")["rank"].sort_index()
+    )
+
+    n, d = 5, 0.85
+    out = {0: [1, 2], 1: [2], 2: [0, 4], 3: [2], 4: []}
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        nxt = np.zeros(n)
+        dangling = sum(r[u] for u in out if not out[u])
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += r[u] / len(vs)
+        r = (1 - d) / n + d * dangling / n + d * nxt
+    for i in range(n):
+        assert abs(got[i] - round(r[i], 8)) < 1e-9
+    # ranks form a distribution (dangling mass conserved)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    edf = spark.createDataFrame(pd.DataFrame(ring, columns=["src_id", "dst_id"]))
+    out = graph.pagerank(edf, iters=15).toPandas()
+    # ranks are rounded to 8 dp on output; 1/6 rounds with 3.3e-9 error
+    assert (abs(out["rank"] - 1.0 / 6) < 1e-8).all()

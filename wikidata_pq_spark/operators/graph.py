@@ -182,3 +182,67 @@ def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
             (F.col("neg_obj") == F.col("obj")).alias("degenerate"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Iterative PageRank over the entity graph: (node_id, rank).
+
+    Power iteration as repeated DataFrame joins -- contribution =
+    rank / out_degree shipped along each edge, summed per target, then
+    the damping update. Dangling nodes (no out-edges) spread their mass
+    uniformly: that mass is ONE scalar aggregate per iteration (a
+    driver scalar by necessity and by textbook formulation, not a
+    collect of data). Lineage is truncated per iteration with a lazy
+    localCheckpoint, the same discipline as connected_components and
+    k_hop -- without it the plan tree doubles per round.
+
+    Scale shape per iteration: one equi-join on the edge src (ranks are
+    hash-partitioned by node either side), one groupBy(dst) sum. The
+    rank frame is O(nodes); edges dominate and are never materialized
+    to the driver. Convergence-by-tolerance is deliberately NOT
+    implemented (a per-iteration global delta would add an aggregate
+    per round); fixed ``iters`` matches how production jobs bound cost.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node_id"))
+        .union(e.select(F.col("_d").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg, ranks.node_id == out_deg._s, "left"
+        )
+        # dangling mass: total rank sitting on nodes with no out-edges
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .select(F.col("node_id").alias("_s"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .join(e, "_s")
+            .groupBy(F.col("_d").alias("node_id"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node_id", F.round("rank", 8).alias("rank"))
