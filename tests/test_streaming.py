@@ -366,3 +366,65 @@ def test_triple_support_mid_epoch_kill_restart(spark, tmp_path):
     assert (got["n_support"] == full["n_support"]).all()
     assert (got["first_conv"] == full["first_conv"]).all()
     assert (got["n_convs_est"] == full["n_convs"]).all()
+
+
+def test_streaming_corpus_ingest_composition(spark, tmp_path):
+    """Streaming curation ingest: new documents arrive as a stream and
+    flow through streaming exact-dedup (first-seen wins, watermark-
+    bounded state) -> token-count quality gate -> PII redaction, all in
+    ONE streaming plan; the sink equals the same operators composed in
+    batch over the union of the arrivals."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wikidata_pq_spark.functions import text as TX
+    from wikidata_pq_spark.operators import curation
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["doc_id", "ts", "text"]
+    batch1 = [
+        (0, "2024-01-01 10:00:00", "mail me at a@b.io about the spark job today"),
+        (1, "2024-01-01 10:01:00", "short"),                      # gated out
+        (2, "2024-01-01 10:02:00", "plain clean document text here"),
+    ]
+    batch2 = [
+        (3, "2024-01-01 10:10:00", "mail me at a@b.io about the spark job today"),  # dup of 0
+        (4, "2024-01-01 10:11:00", "call 555-123-4567 for the gpu cluster quota"),
+    ]
+    src = str(tmp_path / "docs_in")
+    for rows in (batch1, batch2):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def compose(df):
+        gated = df.filter(F.size(TX.tokens(F.col("text"))) >= 4)
+        return curation.redact_pii(gated)
+
+    flow = compose(inc.streaming_dedup(stream))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_to_parquet(flow, out_dir, ckpt)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("doc_id")
+
+    # batch equivalent: first-seen dedup == exact_dup_groups survivors
+    all_rows = spark.read.parquet(src)
+    from wikidata_pq_spark.operators import dedup
+    survivors = dedup.exact_dup_groups(all_rows).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    batch_out = (
+        compose(all_rows.join(survivors, "doc_id"))
+        .toPandas().sort_values("doc_id")
+    )
+    assert list(got["doc_id"]) == list(batch_out["doc_id"]) == [0, 2, 4]
+    assert got.reset_index(drop=True).equals(batch_out.reset_index(drop=True))
+    # the redaction did real work inside the stream
+    assert "<EMAIL>" in got.set_index("doc_id").loc[0, "red_text"]
+    assert "<PHONE>" in got.set_index("doc_id").loc[4, "red_text"]
