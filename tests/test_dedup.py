@@ -244,3 +244,33 @@ def test_redact_pii_patterns(spark):
     assert out.loc[2, "n_ipv4"] == 1 and "<IP>" in out.loc[2, "red_text"]
     assert not out.loc[3, "had_pii"]
     assert out.loc[3, "red_text"] == "nothing sensitive here"
+
+
+def test_pack_chunks_invariants_random_corpus(spark):
+    """Structural invariants on a seeded random corpus: per-shard
+    offsets are gapless and ordered, chunk ids derive exactly from the
+    offset arithmetic, and shard token totals reconcile."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import curation
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for did in range(120):
+        lang = ["en", "de", "fr"][did % 3]
+        n = int(rng.randint(0, 9))
+        rows.append((did, lang, " ".join(f"w{i}" for i in range(n))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    L = 7
+    out = curation.pack_chunks(df, max_len=L).toPandas()
+    for lang, grp in out.groupby("lang"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        assert g.loc[0, "start_off"] == 0
+        for i in range(1, len(g)):
+            assert g.loc[i, "start_off"] == g.loc[i - 1, "start_off"] + g.loc[i - 1, "n_tokens"]
+        for _, r in g.iterrows():
+            assert r["first_chunk"] == r["start_off"] // L
+            last = (r["start_off"] + r["n_tokens"] - 1) // L if r["n_tokens"] else r["start_off"] // L
+            assert r["last_chunk"] == last
+            assert r["n_chunks"] == last - r["first_chunk"] + 1
