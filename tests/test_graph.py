@@ -192,3 +192,27 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     out = graph.pagerank(edf, iters=15).toPandas()
     # ranks are rounded to 8 dp on output; 1/6 rounds with 3.3e-9 error
     assert (abs(out["rank"] - 1.0 / 6) < 1e-8).all()
+
+
+def test_negative_samples_empty_vocab_raises(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    t = spark.createDataFrame(pd.DataFrame(
+        [("Q1", "likes", "Q2")], columns=["subj", "pred", "obj"]))
+    empty = spark.createDataFrame([], schema="entity_id string")
+    import pytest
+    with pytest.raises(ValueError, match="empty entity vocabulary"):
+        graph.negative_samples(t, empty)
+
+
+def test_pagerank_empty_graph_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from wikidata_pq_spark.operators import graph
+
+    empty = spark.createDataFrame([], schema="src_id string, dst_id string")
+    with pytest.raises(ValueError, match="empty edge frame"):
+        graph.pagerank(empty)

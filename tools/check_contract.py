@@ -64,9 +64,9 @@ def main():
 
     from wikidata_pq_spark import contracts
 
-    # driver-exported window first (what CORRECTNESS_r{N} sees), then the
-    # retired sibling cells -- identical gate, full 66-query sweep
-    # (50 QUERIES + 16 EXTRA_QUERIES)
+    # driver-exported window first (what CORRECTNESS_r{N} sees), then
+    # every EXTRA_QUERIES cell -- identical gate, full sweep over
+    # len(QUERIES) + len(EXTRA_QUERIES) queries
     qs = dict(entry.queries())
     qs.update(contracts.EXTRA_QUERIES)
     oracles = dict(entry.oracle_sql())

@@ -55,8 +55,10 @@ class CurationPipeline:
         st = self.state
 
         if st.gate("redact", Step.COMPLETE):
-            red = curation.redact_pii(docs)
-            out = docs.select("doc_id", "lang").join(red, "doc_id").select(
+            # keep_cols rides lang through the SAME map-only scan --
+            # no self-join, the stage stays shuffle-free as documented
+            red = curation.redact_pii(docs, keep_cols=("lang",))
+            out = red.select(
                 "doc_id", "lang", F.col("red_text").alias("text"),
                 "n_email", "n_phone", "n_ipv4", "had_pii",
             )

@@ -141,26 +141,34 @@ PII_PATTERNS = [
 ]
 
 
-def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
     """Rule-based PII scrubbing (the pre-training redaction stage):
     chained regexp_replace for emails, phone numbers and IPv4s, plus a
     per-class hit count BEFORE redaction.
 
     Pure Catalyst -- at 100 TB this is a map-only pass fused into the
-    scan (no shuffle at all); the patterns are the dual-engine-safe
+    scan (no shuffle at all); ``keep_cols`` carries passthrough columns
+    (lang, ts, ...) through the same single scan, so callers never need
+    a self-join to reattach them. The patterns are the dual-engine-safe
     subset (Java regex + RE2), so the DuckDB oracle replays them
     verbatim.
     """
-    out = df.select(F.col(id_col), F.col(text_col).alias("red_text"))
+    keep = [F.col(c) for c in keep_cols]
+    out = df.select(F.col(id_col), *keep, F.col(text_col).alias("red_text"))
     counts = []
     for name, pat, _ in PII_PATTERNS:
         counts.append(
             F.regexp_count(F.col("red_text"), F.lit(pat)).cast("long").alias(f"n_{name}")
         )
-    out = out.select(F.col(id_col), "red_text", *counts)
+    out = out.select(F.col(id_col), *keep_cols, "red_text", *counts)
     for name, pat, token in PII_PATTERNS:
         out = out.withColumn("red_text", F.regexp_replace("red_text", pat, token))
     return out.select(
-        id_col, "red_text", "n_email", "n_phone", "n_ipv4",
+        id_col, *keep_cols, "red_text", "n_email", "n_phone", "n_ipv4",
         ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).alias("had_pii"),
     )

@@ -125,7 +125,9 @@ def triple_support(triples: DataFrame) -> DataFrame:
     )
 
 
-def comention_edges(mentions: DataFrame, min_count: int = 1) -> DataFrame:
+def comention_edges(
+    mentions: DataFrame, min_count: int = 1, truncate_lineage: bool = True
+) -> DataFrame:
     """Entity co-mention edge list: (a, b, n_convs) for entities that
     appear in the same conversation, a < b lexicographically.
 
@@ -141,6 +143,13 @@ def comention_edges(mentions: DataFrame, min_count: int = 1) -> DataFrame:
         .unionByName(mentions.select("conv_id", F.col("obj_mention").alias("e")))
         .distinct()
     )
+    # the distinct entity frame feeds BOTH self-join legs; without
+    # truncation the (possibly expensive) upstream mention plan is
+    # evaluated once per leg per union branch -- 4x. Lazy checkpoint
+    # pays it once (the k_hop/CC discipline; truncate_lineage=False
+    # exists for plan inspection, same as k_hop).
+    if truncate_lineage:
+        ents = ents.localCheckpoint(eager=False)
     a = ents.select("conv_id", F.col("e").alias("a"))
     b = ents.select("conv_id", F.col("e").alias("b"))
     return (
@@ -168,6 +177,11 @@ def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
 
     vocab = entities.select(F.col("entity_id").alias("neg_obj")).distinct()
     n = vocab.count()  # dimension-table size: driver scalar by design
+    if n == 0:
+        # Spark `% 0` yields NULL (silently dropping every triple at
+        # the index join) where the SQL oracle errors -- fail loudly
+        # instead of disagreeing with the contract
+        raise ValueError("negative_samples: empty entity vocabulary")
     idx = Window.orderBy("neg_obj")
     vocab_idx = vocab.withColumn("vidx", F.row_number().over(idx) - 1)
     key = F.concat_ws("|", "subj", "pred", "obj")
@@ -217,12 +231,17 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge frame (no nodes)")
     out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
+        # lazy checkpoint: with_deg is consumed TWICE per round (the
+        # dangling-mass scalar action, then contribs) -- without it the
+        # ranks-out_deg join re-executes for the second consumer
         with_deg = ranks.join(
             out_deg, ranks.node_id == out_deg._s, "left"
-        )
+        ).localCheckpoint(eager=False)
         # dangling mass: total rank sitting on nodes with no out-edges
         dangling = (
             with_deg.filter(F.col("_deg").isNull())

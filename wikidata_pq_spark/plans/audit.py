@@ -146,6 +146,18 @@ def _graph_khop_raw(spark, sf):
     return graph.k_hop(edges, seeds, k=2, truncate_lineage=False)
 
 
+def _comention_raw(spark, sf):
+    """comention_edges truncates the shared distinct-entity frame's
+    lineage (it feeds both self-join legs); audit the untruncated plan
+    so the extraction + self-join shape stays visible."""
+    from .. import contracts
+    from ..operators import extract, graph
+
+    tr, _, _ = contracts._kg_frames(contracts._sf_name(sf))
+    mentions = extract.extract_mentions(spark.createDataFrame(tr))
+    return graph.comention_edges(mentions, min_count=2, truncate_lineage=False)
+
+
 def _flatten_claims_raw(spark, sf):
     """The contract query memoizes the flattened frame behind a
     localCheckpoint (its audited plan would be a bare RDD scan); audit
@@ -161,6 +173,7 @@ def _flatten_claims_raw(spark, sf):
 BUILDERS = {
     "flatten_claims_fourbranch": _flatten_claims_raw,
     "graph_khop": _graph_khop_raw,
+    "kg_comention_edges": _comention_raw,
 }
 
 
