@@ -216,3 +216,50 @@ def test_pagerank_empty_graph_raises(spark):
     empty = spark.createDataFrame([], schema="src_id string, dst_id string")
     with pytest.raises(ValueError, match="empty edge frame"):
         graph.pagerank(empty)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """Seed-restart PageRank == numpy reference (restart AND dangling
+    mass return to the seed set) to 1e-9; mass concentrates near seeds."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (5, 0)]  # 4 dangles
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["src_id", "dst_id"]))
+    seeds = spark.createDataFrame(pd.DataFrame({"node_id": [0]}))
+    got = (
+        graph.personalized_pagerank(edf, seeds, damping=0.85, iters=20)
+        .toPandas().set_index("node_id")["rank"].sort_index()
+    )
+
+    n, d = 6, 0.85
+    out = {0: [1], 1: [2], 2: [3, 4], 3: [0], 4: [], 5: [0]}
+    restart = np.zeros(n); restart[0] = 1.0
+    r = restart.copy()
+    for _ in range(20):
+        nxt = np.zeros(n)
+        dangling = sum(r[u] for u in out if not out[u])
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += r[u] / len(vs)
+        r = (1 - d) * restart + d * dangling * restart + d * nxt
+    for i in range(n):
+        assert abs(got[i] - round(r[i], 8)) < 1e-9
+    assert abs(got.sum() - 1.0) < 1e-6
+    # seed-biased: node 0 outranks the far node 5 (which only feeds in)
+    assert got[0] > got[5]
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from wikidata_pq_spark.operators import graph
+
+    edf = spark.createDataFrame(
+        pd.DataFrame([(0, 1)], columns=["src_id", "dst_id"]))
+    empty = spark.createDataFrame([], schema="node_id long")
+    with pytest.raises(ValueError, match="empty seed set"):
+        graph.personalized_pagerank(edf, empty)
