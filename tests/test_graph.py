@@ -263,3 +263,47 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     empty = spark.createDataFrame([], schema="node_id long")
     with pytest.raises(ValueError, match="empty seed set"):
         graph.personalized_pagerank(edf, empty)
+
+
+def test_current_beliefs_latest_wins(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    rows = [
+        ("Q1", "lives_in", "paris", "c1", 2),
+        ("Q1", "lives_in", "berlin", "c1", 9),   # later turn, same conv
+        ("Q1", "lives_in", "tokyo", "c0", 5),    # earlier conv
+        ("Q2", "works_at", "acme", "c3", 1),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx"])
+    )
+    out = graph.current_beliefs(t).toPandas().set_index(["subj", "pred"])
+    assert out.loc[("Q1", "lives_in"), "obj"] == "berlin"
+    assert out.loc[("Q1", "lives_in"), "last_conv"] == "c1"
+    assert out.loc[("Q1", "lives_in"), "last_turn"] == 9
+    assert out.loc[("Q2", "works_at"), "obj"] == "acme"
+    assert len(out) == 2  # one belief per (subj, pred)
+
+
+def test_conflicting_assertions(spark):
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    rows = [
+        ("Q1", "lives_in", "paris", "c1", 2),
+        ("Q1", "lives_in", "berlin", "c2", 1),
+        ("Q1", "lives_in", "paris", "c3", 4),    # repeat, not a new conflict
+        ("Q2", "works_at", "acme", "c3", 1),     # unconflicted
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx"])
+    )
+    out = graph.conflicting_assertions(t).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["subj"], r["pred"], r["n_objs"], r["objs"]) == (
+        "Q1", "lives_in", 2, "berlin|paris"
+    )

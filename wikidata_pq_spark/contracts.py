@@ -1040,6 +1040,43 @@ def q_negative_samples(spark, sf):
     return graph.negative_samples(triples, spark.createDataFrame(ents))
 
 
+def q_current_beliefs(spark, sf):
+    """Latest-assertion-wins KG view over the full Catalyst triple
+    chain (belief revision / MERGE-INTO read shape). Oracle: the same
+    window argmax in SQL over the pandas oracle's triples (exported
+    fresh by this query)."""
+    from .operators import graph
+
+    tr, ents, sa = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "beliefs_triples_golden")
+    mentions = extract.extract_mentions(spark.createDataFrame(tr))
+    linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
+    comps = canonicalize.connected_components(spark.createDataFrame(sa))
+    triples = canonicalize.apply_canonical(linked, comps).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    ).distinct()
+    return graph.current_beliefs(triples)
+
+
+def q_kg_conflicts(spark, sf):
+    """(subj, pred) keys asserted with conflicting objects -- the KG
+    quality gate. Oracle: distinct-count + sorted string-agg over the
+    same exported golden triples."""
+    from .operators import graph
+
+    tr, ents, sa = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "beliefs_triples_golden")
+    mentions = extract.extract_mentions(spark.createDataFrame(tr))
+    linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
+    comps = canonicalize.connected_components(spark.createDataFrame(sa))
+    triples = canonicalize.apply_canonical(linked, comps).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    ).distinct()
+    return graph.conflicting_assertions(triples)
+
+
 def q_exact_quantiles(spark, sf):
     """A-family: exact grouped quantiles (median + p95) via Spark's
     `percentile` (exact linear interpolation -- the scale path would be
@@ -1194,6 +1231,8 @@ EXTRA_QUERIES = {
     "x_redact_pii": q_redact_pii,
     "kg_comention_edges": q_comention_edges,
     "kg_negative_samples": q_negative_samples,
+    "kg_current_beliefs": q_current_beliefs,
+    "kg_conflicts": q_kg_conflicts,
 }
 
 # --------------------------------------------------------------------------
@@ -1993,6 +2032,29 @@ ORACLE_SQL = {
               FROM t)
         SELECT subj, pred, obj, neg_obj, (neg_obj = obj) AS degenerate
         FROM d JOIN vi USING (vidx)
+    """,
+    # -- latest-assertion-wins view: the same window argmax over the
+    #    exported golden triples
+    "kg_current_beliefs": f"""
+        WITH t AS (SELECT DISTINCT subj, pred, obj, conv_id, turn_idx
+                   FROM read_parquet('{_export_path("beliefs_triples_golden")}')),
+        r AS (SELECT subj, pred, obj, conv_id, turn_idx,
+                     row_number() OVER (PARTITION BY subj, pred
+                         ORDER BY conv_id DESC, turn_idx DESC, obj DESC) AS rn
+              FROM t)
+        SELECT subj, pred, obj,
+               conv_id AS last_conv,
+               CAST(turn_idx AS BIGINT) AS last_turn
+        FROM r WHERE rn = 1
+    """,
+    # -- conflict gate: distinct-object count + sorted string-agg
+    "kg_conflicts": f"""
+        WITH t AS (SELECT DISTINCT subj, pred, obj
+                   FROM read_parquet('{_export_path("beliefs_triples_golden")}'))
+        SELECT subj, pred,
+               CAST(count(*) AS BIGINT) AS n_objs,
+               array_to_string(list_sort(list(obj)), '|') AS objs
+        FROM t GROUP BY subj, pred HAVING count(*) >= 2
     """,
     # -- exact grouped quantiles: quantile_cont matches Spark
     #    percentile's linear-interpolation definition

@@ -334,3 +334,47 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node_id", F.round("rank", 8).alias("rank"))
+
+
+def current_beliefs(triples: DataFrame) -> DataFrame:
+    """Latest-assertion-wins view of the KG: one row per (subj, pred)
+    keeping the most recently asserted object (by conversation order,
+    then turn; object string as the final deterministic tiebreak).
+
+    The belief-revision / upsert semantics of a living KG -- at scale
+    this is the MERGE-INTO read shape: one window per (subj, pred),
+    partition-pruned by subject bucket in the materialized tables.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.desc("conv_id"), F.desc("turn_idx"), F.desc("obj")
+    )
+    return (
+        triples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "subj", "pred", "obj",
+            F.col("conv_id").alias("last_conv"),
+            F.col("turn_idx").alias("last_turn"),
+        )
+    )
+
+
+def conflicting_assertions(triples: DataFrame) -> DataFrame:
+    """KG quality gate: (subj, pred) keys asserted with MORE than one
+    distinct object, with the conflicting objects joined into one
+    deterministic string (sorted, '|'-separated -- a scalar so exact
+    oracles can hash it; at scale the list stays distributed).
+
+    One hash aggregate on (subj, pred); map-side combine keeps the
+    shuffle proportional to distinct keys, not assertions.
+    """
+    return (
+        triples.groupBy("subj", "pred")
+        .agg(
+            F.countDistinct("obj").cast("long").alias("n_objs"),
+            F.array_join(F.sort_array(F.collect_set("obj")), "|").alias("objs"),
+        )
+        .filter(F.col("n_objs") >= 2)
+    )
