@@ -83,3 +83,50 @@ def test_three_paths_equal_on_adversarial_text(spark):
     # and all equal the single-process oracle
     golden = oracle.oracle_extract(pdf)
     assert results["sql"] == sorted(map(tuple, golden[KEYS].values))
+
+
+def test_extraction_null_text_rows_are_inert(spark):
+    """NULL text / NULL tool rows must not crash any extraction path
+    and must contribute zero mentions; the remaining rows extract
+    exactly as if the NULL rows were absent (both Catalyst and Arrow
+    paths)."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import extract
+
+    clean = pd.DataFrame(
+        [
+            ("c1", 0, "user", "acme was founded by alice", None, None),
+            ("c1", 1, "assistant", "it acquired globex", None, None),
+            ("c2", 0, "user", "bob works at initech", None, None),
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    dirty = pd.concat(
+        [
+            clean,
+            pd.DataFrame(
+                [
+                    ("c1", 2, "tool", None, "search", None),   # NULL text
+                    ("c3", 0, None, None, None, None),          # all-NULL turn
+                ],
+                columns=clean.columns,
+            ),
+        ],
+        ignore_index=True,
+    )
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    key = ["conv_id", "turn_idx", "pred", "subj_mention", "obj_mention"]
+    want = (
+        extract.extract_mentions(spark.createDataFrame(clean, schema=schema))
+        .toPandas()[key].sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    for method in ("sql", "partitions", "grouped"):
+        got = (
+            extract.extract_mentions(
+                spark.createDataFrame(dirty, schema=schema), method=method
+            )
+            .toPandas()[key].sort_values(key).reset_index(drop=True)
+        )
+        assert got.equals(want), f"method={method} diverged on NULL rows"
