@@ -307,3 +307,22 @@ def test_conflicting_assertions(spark):
     assert (r["subj"], r["pred"], r["n_objs"], r["objs"]) == (
         "Q1", "lives_in", 2, "berlin|paris"
     )
+
+
+def test_personalized_pagerank_absent_seed_mass_conserved(spark):
+    """A seed absent from the graph is excluded from the restart
+    normalizer -- mass still sums to 1 (the leak the unified restart
+    vector guards against); seeds fully disjoint from the graph raise."""
+    import pandas as pd
+    import pytest
+
+    from wikidata_pq_spark.operators import graph
+
+    edf = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 0)], columns=["src_id", "dst_id"]))
+    seeds = spark.createDataFrame(pd.DataFrame({"node_id": [0, 99]}))  # 99 absent
+    out = graph.personalized_pagerank(edf, seeds, iters=10).toPandas()
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    disjoint = spark.createDataFrame(pd.DataFrame({"node_id": [99]}))
+    with pytest.raises(ValueError, match="no seed node appears"):
+        graph.personalized_pagerank(edf, disjoint)

@@ -738,8 +738,12 @@ def q_kg_mentions(spark, sf):
 
 def _kg_triples_query(spark, sf, method: str):
     tr, ents, sa = _kg_frames(_sf_name(sf))
-    if _is_gate_sf(sf):
+    if _is_gate_sf(sf) and "kg_triples_golden" not in _GOLDEN_EXPORTED:
+        # four contract queries (kg_triples, kg_triples_arrow,
+        # kg_current_beliefs, kg_conflicts) share this golden; the
+        # pandas oracle pipeline runs once per process, not per query
         _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "kg_triples_golden")
+        _GOLDEN_EXPORTED.add("kg_triples_golden")
     mentions = extract.extract_mentions(spark.createDataFrame(tr), method=method)
     linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
     comps = canonicalize.connected_components(spark.createDataFrame(sa))
@@ -1042,39 +1046,21 @@ def q_negative_samples(spark, sf):
 
 def q_current_beliefs(spark, sf):
     """Latest-assertion-wins KG view over the full Catalyst triple
-    chain (belief revision / MERGE-INTO read shape). Oracle: the same
-    window argmax in SQL over the pandas oracle's triples (exported
-    fresh by this query)."""
+    chain (belief revision / MERGE-INTO read shape), reusing the
+    kg_triples chain + golden. Oracle: the same window argmax in SQL
+    over the pandas oracle's triples."""
     from .operators import graph
 
-    tr, ents, sa = _kg_frames(_sf_name(sf))
-    if _is_gate_sf(sf):
-        _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "beliefs_triples_golden")
-    mentions = extract.extract_mentions(spark.createDataFrame(tr))
-    linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
-    comps = canonicalize.connected_components(spark.createDataFrame(sa))
-    triples = canonicalize.apply_canonical(linked, comps).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx"
-    ).distinct()
-    return graph.current_beliefs(triples)
+    return graph.current_beliefs(_kg_triples_query(spark, sf, method="sql"))
 
 
 def q_kg_conflicts(spark, sf):
     """(subj, pred) keys asserted with conflicting objects -- the KG
-    quality gate. Oracle: distinct-count + sorted string-agg over the
-    same exported golden triples."""
+    quality gate, over the same kg_triples chain + golden. Oracle:
+    distinct-count + sorted string-agg in SQL."""
     from .operators import graph
 
-    tr, ents, sa = _kg_frames(_sf_name(sf))
-    if _is_gate_sf(sf):
-        _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "beliefs_triples_golden")
-    mentions = extract.extract_mentions(spark.createDataFrame(tr))
-    linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
-    comps = canonicalize.connected_components(spark.createDataFrame(sa))
-    triples = canonicalize.apply_canonical(linked, comps).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx"
-    ).distinct()
-    return graph.conflicting_assertions(triples)
+    return graph.conflicting_assertions(_kg_triples_query(spark, sf, method="sql"))
 
 
 def q_exact_quantiles(spark, sf):
@@ -2037,7 +2023,7 @@ ORACLE_SQL = {
     #    exported golden triples
     "kg_current_beliefs": f"""
         WITH t AS (SELECT DISTINCT subj, pred, obj, conv_id, turn_idx
-                   FROM read_parquet('{_export_path("beliefs_triples_golden")}')),
+                   FROM read_parquet('{_export_path("kg_triples_golden")}')),
         r AS (SELECT subj, pred, obj, conv_id, turn_idx,
                      row_number() OVER (PARTITION BY subj, pred
                          ORDER BY conv_id DESC, turn_idx DESC, obj DESC) AS rn
@@ -2050,7 +2036,7 @@ ORACLE_SQL = {
     # -- conflict gate: distinct-object count + sorted string-agg
     "kg_conflicts": f"""
         WITH t AS (SELECT DISTINCT subj, pred, obj
-                   FROM read_parquet('{_export_path("beliefs_triples_golden")}'))
+                   FROM read_parquet('{_export_path("kg_triples_golden")}'))
         SELECT subj, pred,
                CAST(count(*) AS BIGINT) AS n_objs,
                array_to_string(list_sort(list(obj)), '|') AS objs

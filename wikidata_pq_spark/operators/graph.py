@@ -204,13 +204,25 @@ def pagerank(
     iters: int = 10,
     src: str = "src_id",
     dst: str = "dst_id",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Iterative PageRank over the entity graph: (node_id, rank).
 
     Power iteration as repeated DataFrame joins -- contribution =
     rank / out_degree shipped along each edge, summed per target, then
-    the damping update. Dangling nodes (no out-edges) spread their mass
-    uniformly: that mass is ONE scalar aggregate per iteration (a
+    the damping update against a RESTART VECTOR ``_r``:
+
+    - ``seeds is None`` (global PageRank): uniform restart, 1/n per
+      node.
+    - ``seeds`` given (personalized PageRank): uniform over the seeds
+      PRESENT IN THE GRAPH (absent seeds are excluded from the
+      normalizer -- otherwise their share of restart mass would leak
+      and ranks stop summing to 1), zero elsewhere. Raises when no
+      seed overlaps the graph (an all-zero "ranking" is a bug, not a
+      result).
+
+    Dangling nodes (no out-edges) return their mass through the same
+    restart vector: that mass is ONE scalar aggregate per iteration (a
     driver scalar by necessity and by textbook formulation, not a
     collect of data). Lineage is truncated per iteration with a lazy
     localCheckpoint, the same discipline as connected_components and
@@ -218,10 +230,12 @@ def pagerank(
 
     Scale shape per iteration: one equi-join on the edge src (ranks are
     hash-partitioned by node either side), one groupBy(dst) sum. The
-    rank frame is O(nodes); edges dominate and are never materialized
-    to the driver. Convergence-by-tolerance is deliberately NOT
-    implemented (a per-iteration global delta would add an aggregate
-    per round); fixed ``iters`` matches how production jobs bound cost.
+    rank frame is O(nodes) and carries ``_r`` alongside, so the update
+    needs NO extra join for the restart term; edges dominate and are
+    never materialized to the driver. Convergence-by-tolerance is
+    deliberately NOT implemented (a per-iteration global delta would
+    add an aggregate per round); fixed ``iters`` matches how
+    production jobs bound cost.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     nodes = (
@@ -233,8 +247,21 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge frame (no nodes)")
+    if seeds is None:
+        noder = nodes.withColumn("_r", F.lit(1.0 / n))
+    else:
+        s = seeds.select("node_id").distinct().join(nodes, "node_id", "semi")
+        n_seeds = s.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: empty seed set (no seed node appears in the graph)"
+            )
+        noder = nodes.join(
+            s.withColumn("_r", F.lit(1.0 / n_seeds)), "node_id", "left"
+        ).select("node_id", F.coalesce("_r", F.lit(0.0)).alias("_r"))
+    noder = noder.localCheckpoint(eager=False)
     out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = noder.select("node_id", F.col("_r").alias("rank"))
     for _ in range(iters):
         # lazy checkpoint: with_deg is consumed TWICE per round (the
         # dangling-mass scalar action, then contribs) -- without it the
@@ -242,7 +269,6 @@ def pagerank(
         with_deg = ranks.join(
             out_deg, ranks.node_id == out_deg._s, "left"
         ).localCheckpoint(eager=False)
-        # dangling mass: total rank sitting on nodes with no out-edges
         dangling = (
             with_deg.filter(F.col("_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -255,12 +281,16 @@ def pagerank(
             .groupBy(F.col("_d").alias("node_id"))
             .agg(F.sum("_c").alias("_in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # restart + dangling mass both land on the restart vector
         ranks = (
-            nodes.join(contribs, "node_id", "left")
+            noder.join(contribs, "node_id", "left")
             .select(
                 "node_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(1.0 - damping) * F.col("_r")
+                    + F.lit(damping * dangling) * F.col("_r")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
@@ -277,69 +307,26 @@ def personalized_pagerank(
 ) -> DataFrame:
     """Personalized PageRank: random walks restart at ``seeds(node_id)``
     instead of uniformly -- the standard KG relevance score for "which
-    entities matter relative to THIS query set".
-
-    Same per-iteration shape as :func:`pagerank` (one edge equi-join +
-    one groupBy sum, lineage truncated per round); the differences are
-    the restart vector (uniform over seeds, zero elsewhere) and that
-    dangling mass also returns to the seeds. Scores over all nodes sum
-    to 1, concentrated around the seed neighborhood.
-    """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
-    nodes = (
-        e.select(F.col("_s").alias("node_id"))
-        .union(e.select(F.col("_d").alias("node_id")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    entities matter relative to THIS query set". Thin wrapper over
+    :func:`pagerank` with a seed restart vector (one power-iteration
+    implementation to maintain, not two)."""
+    return pagerank(
+        edges, damping=damping, iters=iters, src=src, dst=dst, seeds=seeds
     )
-    s = seeds.select(F.col("node_id")).distinct()
-    n_seeds = s.count()
-    if n_seeds == 0:
-        raise ValueError("personalized_pagerank: empty seed set")
-    restart = nodes.join(s, "node_id", "semi").withColumn(
-        "_r", F.lit(1.0 / n_seeds)
-    )
-    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ranks = nodes.join(restart.select("node_id", "_r"), "node_id", "left").select(
-        "node_id", F.coalesce("_r", F.lit(0.0)).alias("rank")
-    )
-    for _ in range(iters):
-        with_deg = ranks.join(
-            out_deg, ranks.node_id == out_deg._s, "left"
-        ).localCheckpoint(eager=False)
-        dangling = (
-            with_deg.filter(F.col("_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-        contribs = (
-            with_deg.filter(F.col("_deg").isNotNull())
-            .select(F.col("node_id").alias("_s"), (F.col("rank") / F.col("_deg")).alias("_c"))
-            .join(e, "_s")
-            .groupBy(F.col("_d").alias("node_id"))
-            .agg(F.sum("_c").alias("_in"))
-        )
-        # restart + dangling mass both land on the SEEDS, not uniformly
-        seed_boost = (1.0 - damping) / n_seeds + damping * dangling / n_seeds
-        ranks = (
-            nodes.join(contribs, "node_id", "left")
-            .join(restart.select("node_id", F.lit(True).alias("_is_seed")), "node_id", "left")
-            .select(
-                "node_id",
-                (
-                    F.when(F.col("_is_seed"), F.lit(seed_boost)).otherwise(F.lit(0.0))
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select("node_id", F.round("rank", 8).alias("rank"))
 
 
-def current_beliefs(triples: DataFrame) -> DataFrame:
+def current_beliefs(
+    triples: DataFrame, order_cols: tuple = ("conv_id", "turn_idx")
+) -> DataFrame:
     """Latest-assertion-wins view of the KG: one row per (subj, pred)
-    keeping the most recently asserted object (by conversation order,
-    then turn; object string as the final deterministic tiebreak).
+    keeping the assertion that ranks highest under ``order_cols``
+    descending (object string as the final deterministic tiebreak).
+
+    The default ordering is LEXICOGRAPHIC (conv_id, turn_idx) -- truly
+    temporal only when conversation ids sort chronologically (the
+    synthetic corpora's zero-padded ids do; UUIDs do not). Pass a
+    timestamp-bearing column tuple, e.g. ``("ts",)``, for wall-clock
+    recency.
 
     The belief-revision / upsert semantics of a living KG -- at scale
     this is the MERGE-INTO read shape: one window per (subj, pred),
@@ -348,7 +335,7 @@ def current_beliefs(triples: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("subj", "pred").orderBy(
-        F.desc("conv_id"), F.desc("turn_idx"), F.desc("obj")
+        *[F.desc(c) for c in order_cols], F.desc("obj")
     )
     return (
         triples.withColumn("_rn", F.row_number().over(w))
