@@ -235,6 +235,10 @@ def test_redact_pii_patterns(spark):
         (1, "call 555-123-4567 and 555 987 6543 today"),
         (2, "server at 192.168.0.1 responded"),
         (3, "nothing sensitive here"),
+        # IPv4 embedded in an email's domain: progressive counting
+        # attributes it to email ONLY (the class that actually redacted
+        # it), so counts reconcile with placeholder occurrences
+        (4, "ping a@10.0.0.12.example.com ok"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     out = curation.redact_pii(df).toPandas().set_index("doc_id")
@@ -244,6 +248,12 @@ def test_redact_pii_patterns(spark):
     assert out.loc[2, "n_ipv4"] == 1 and "<IP>" in out.loc[2, "red_text"]
     assert not out.loc[3, "had_pii"]
     assert out.loc[3, "red_text"] == "nothing sensitive here"
+    assert out.loc[4, "n_email"] == 1 and out.loc[4, "n_ipv4"] == 0
+    assert out.loc[4, "red_text"] == "ping <EMAIL> ok"
+    # counts == placeholders, every row
+    for did in out.index:
+        for cls, tok in (("n_email", "<EMAIL>"), ("n_phone", "<PHONE>"), ("n_ipv4", "<IP>")):
+            assert out.loc[did, cls] == out.loc[did, "red_text"].count(tok)
 
 
 def test_pack_chunks_invariants_random_corpus(spark):

@@ -128,6 +128,67 @@ def test_comention_edges_pairs(spark):
     assert graph.comention_edges(m, min_count=2).count() == 1
 
 
+def test_comention_edges_pathological_conv_capped(spark):
+    """A conversation above max_entities_per_conv is dropped WHOLE and
+    surfaced in the audit frame -- never silently truncated, never
+    allowed to emit its quadratic pair set."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    # c_big: 6 distinct entities (15 pairs); c_ok: 3 entities (3 pairs)
+    rows = [("c_big", f"e{i}", f"e{i+1}") for i in range(5)] + [
+        ("c_ok", "x", "y"),
+        ("c_ok", "y", "z"),
+    ]
+    m = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "subj_mention", "obj_mention"])
+    )
+    edges, audit = graph.comention_edges(
+        m, max_entities_per_conv=5, return_audit=True
+    )
+    epd = edges.toPandas()
+    # only c_ok's 3 pairs survive; none of c_big's entities appear
+    assert len(epd) == 3
+    assert not epd["a"].str.startswith("e").any()
+    apd = audit.toPandas()
+    assert len(apd) == 1
+    assert apd.iloc[0]["conv_id"] == "c_big"
+    assert apd.iloc[0]["n_entities"] == 6
+    # cap high enough: identical to the ungated result, empty audit
+    all_edges, empty_audit = graph.comention_edges(
+        m, max_entities_per_conv=100, return_audit=True
+    )
+    assert all_edges.count() == 15 + 3
+    assert empty_audit.count() == 0
+
+
+def test_rank_index_matches_global_window(spark):
+    """Distributed two-pass rank == the single-partition global
+    row_number it replaces, for any range-partition balance."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wikidata_pq_spark.operators import graph
+
+    vals = [f"v{i:03d}" for i in range(97)]  # prime count: uneven ranges
+    df = spark.createDataFrame(pd.DataFrame({"k": vals}).sample(frac=1.0, random_state=7))
+    got = graph.rank_index(df, "k", n_parts=8).toPandas()
+    old = (
+        df.withColumn("vidx", F.row_number().over(Window.orderBy("k")) - 1)
+        .toPandas()
+    )
+    merged = got.merge(old, on="k", suffixes=("_new", "_old"))
+    assert len(merged) == 97
+    assert (merged["vidx_new"] == merged["vidx_old"]).all()
+    # degenerate: fewer rows than partitions still yields dense 0-based
+    tiny = spark.createDataFrame(pd.DataFrame({"k": ["b", "a"]}))
+    tpd = graph.rank_index(tiny, "k", n_parts=16).toPandas().set_index("k")
+    assert tpd.loc["a", "vidx"] == 0 and tpd.loc["b", "vidx"] == 1
+
+
 def test_negative_samples_deterministic(spark):
     import pandas as pd
 
@@ -265,8 +326,41 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
         graph.personalized_pagerank(edf, empty)
 
 
-def test_current_beliefs_latest_wins(spark):
+def test_current_beliefs_latest_wins_wall_clock(spark):
+    """Default ordering is wall-clock ts: a LEXICOGRAPHICALLY-earlier
+    conversation with a LATER timestamp wins (the exact case the old
+    (conv_id, turn_idx) default got wrong)."""
     import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    rows = [
+        ("Q1", "lives_in", "paris", "c1", 2, "2024-01-02 10:00:00"),
+        ("Q1", "lives_in", "berlin", "c1", 9, "2024-01-02 18:00:00"),
+        # lexicographically-earlier conv, wall-clock LATEST assertion
+        ("Q1", "lives_in", "tokyo", "c0", 5, "2024-03-01 09:00:00"),
+        ("Q2", "works_at", "acme", "c3", 1, "2024-01-01 08:00:00"),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"]))
+    )
+    out = graph.current_beliefs(t).toPandas().set_index(["subj", "pred"])
+    assert out.loc[("Q1", "lives_in"), "obj"] == "tokyo"
+    assert out.loc[("Q1", "lives_in"), "last_conv_id"] == "c0"
+    assert out.loc[("Q1", "lives_in"), "last_turn_idx"] == 5
+    assert str(out.loc[("Q1", "lives_in"), "last_ts"]).startswith("2024-03-01")
+    assert out.loc[("Q2", "works_at"), "obj"] == "acme"
+    assert len(out) == 2  # one belief per (subj, pred)
+
+
+def test_current_beliefs_lexicographic_opt_in_and_guard(spark):
+    """ts-less frames: the old (conv_id, turn_idx) ordering is an
+    explicit opt-in; the default loudly refuses rather than silently
+    mis-ordering. Provenance columns derive from order_cols."""
+    import pandas as pd
+    import pytest
 
     from wikidata_pq_spark.operators import graph
 
@@ -279,12 +373,17 @@ def test_current_beliefs_latest_wins(spark):
     t = spark.createDataFrame(
         pd.DataFrame(rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx"])
     )
-    out = graph.current_beliefs(t).toPandas().set_index(["subj", "pred"])
+    with pytest.raises(ValueError, match="order_cols \\['ts'\\] not in"):
+        graph.current_beliefs(t)
+    out = (
+        graph.current_beliefs(t, order_cols=("conv_id", "turn_idx"))
+        .toPandas()
+        .set_index(["subj", "pred"])
+    )
     assert out.loc[("Q1", "lives_in"), "obj"] == "berlin"
-    assert out.loc[("Q1", "lives_in"), "last_conv"] == "c1"
-    assert out.loc[("Q1", "lives_in"), "last_turn"] == 9
-    assert out.loc[("Q2", "works_at"), "obj"] == "acme"
-    assert len(out) == 2  # one belief per (subj, pred)
+    assert out.loc[("Q1", "lives_in"), "last_conv_id"] == "c1"
+    assert out.loc[("Q1", "lives_in"), "last_turn_idx"] == 9
+    assert len(out) == 2
 
 
 def test_conflicting_assertions(spark):

@@ -736,20 +736,21 @@ def q_kg_mentions(spark, sf):
     return extract.extract_mentions(spark.createDataFrame(tr), method="partitions")
 
 
-def _kg_triples_query(spark, sf, method: str):
+def _kg_triples_query(spark, sf, method: str, include_ts: bool = False):
     tr, ents, sa = _kg_frames(_sf_name(sf))
     if _is_gate_sf(sf) and "kg_triples_golden" not in _GOLDEN_EXPORTED:
-        # four contract queries (kg_triples, kg_triples_arrow,
-        # kg_current_beliefs, kg_conflicts) share this golden; the
-        # pandas oracle pipeline runs once per process, not per query
+        # five contract queries (kg_triples, kg_triples_arrow,
+        # kg_current_beliefs, kg_conflicts, kg_triple_support) share
+        # this golden; the pandas oracle pipeline runs once per process
         _export_golden(kg_oracle.oracle_triples(tr, ents, sa), "kg_triples_golden")
         _GOLDEN_EXPORTED.add("kg_triples_golden")
     mentions = extract.extract_mentions(spark.createDataFrame(tr), method=method)
     linked = linking.link_mentions(mentions, spark.createDataFrame(ents), strategy="broadcast")
     comps = canonicalize.connected_components(spark.createDataFrame(sa))
-    return canonicalize.apply_canonical(linked, comps).select(
-        "subj", "pred", "obj", "conv_id", "turn_idx"
-    ).distinct()
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    if include_ts:
+        cols.append("ts")
+    return canonicalize.apply_canonical(linked, comps).select(*cols).distinct()
 
 
 def q_kg_triples(spark, sf):
@@ -1047,11 +1048,16 @@ def q_negative_samples(spark, sf):
 def q_current_beliefs(spark, sf):
     """Latest-assertion-wins KG view over the full Catalyst triple
     chain (belief revision / MERGE-INTO read shape), reusing the
-    kg_triples chain + golden. Oracle: the same window argmax in SQL
-    over the pandas oracle's triples."""
+    kg_triples chain + golden. Triples carry the asserting turn's
+    ``ts``, so recency is WALL-CLOCK (the default order_cols), with
+    (conv_id, turn_idx) as the deterministic same-instant tiebreak.
+    Oracle: the same window argmax in SQL over the pandas oracle's
+    triples (which thread ts identically)."""
     from .operators import graph
 
-    return graph.current_beliefs(_kg_triples_query(spark, sf, method="sql"))
+    return graph.current_beliefs(
+        _kg_triples_query(spark, sf, method="sql", include_ts=True)
+    )
 
 
 def q_kg_conflicts(spark, sf):
@@ -1778,7 +1784,7 @@ ORACLE_SQL = {
     # golden flattener), exported at the gate sf; the SQL re-reads them
     "kg_extract_mentions": f"""
         SELECT conv_id, turn_idx, pred, subj_mention, obj_mention,
-               obj_kind, rule_idx, match_idx
+               obj_kind, rule_idx, match_idx, ts
         FROM read_parquet('{_export_path("kg_extract_mentions_golden")}')
     """,
     "kg_triples": f"""
@@ -1968,21 +1974,27 @@ ORACLE_SQL = {
                      THEN ' call 555-123-4567 or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
                    ELSE '' END AS t
           FROM documents),
-        counted AS (
-          SELECT doc_id, t,
+        -- PROGRESSIVE counts (each class counted on the text the
+        -- replacement chain actually sees), matching redact_pii: every
+        -- n_* equals the placeholders that step inserted
+        s1 AS (
+          SELECT doc_id,
                  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-                 CAST(len(regexp_extract_all(t, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phone,
-                 CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4
-          FROM spiked)
-        SELECT doc_id,
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
-                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS red_text,
-               n_email, n_phone, n_ipv4,
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM spiked),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phone,
+                 regexp_replace(t1, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS t2
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, n_email, n_phone,
+                 CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                 regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS red_text
+          FROM s2)
+        SELECT doc_id, red_text, n_email, n_phone, n_ipv4,
                (n_email + n_phone + n_ipv4) > 0 AS had_pii
-        FROM counted
+        FROM s3
     """,
     # -- co-mention pairs recomposed from the independent pandas
     #    oracle's mention set (exported fresh by the query itself)
@@ -2020,17 +2032,20 @@ ORACLE_SQL = {
         FROM d JOIN vi USING (vidx)
     """,
     # -- latest-assertion-wins view: the same window argmax over the
-    #    exported golden triples
+    #    exported golden triples, ordered by WALL-CLOCK ts (threaded
+    #    through the golden pipeline identically) with (conv_id,
+    #    turn_idx) as the deterministic same-instant tiebreak
     "kg_current_beliefs": f"""
-        WITH t AS (SELECT DISTINCT subj, pred, obj, conv_id, turn_idx
+        WITH t AS (SELECT DISTINCT subj, pred, obj, conv_id, turn_idx, ts
                    FROM read_parquet('{_export_path("kg_triples_golden")}')),
-        r AS (SELECT subj, pred, obj, conv_id, turn_idx,
+        r AS (SELECT subj, pred, obj, ts, conv_id, turn_idx,
                      row_number() OVER (PARTITION BY subj, pred
-                         ORDER BY conv_id DESC, turn_idx DESC, obj DESC) AS rn
+                         ORDER BY ts DESC, conv_id DESC, turn_idx DESC, obj DESC) AS rn
               FROM t)
         SELECT subj, pred, obj,
-               conv_id AS last_conv,
-               CAST(turn_idx AS BIGINT) AS last_turn
+               ts AS last_ts,
+               conv_id AS last_conv_id,
+               CAST(turn_idx AS BIGINT) AS last_turn_idx
         FROM r WHERE rn = 1
     """,
     # -- conflict gate: distinct-object count + sorted string-agg

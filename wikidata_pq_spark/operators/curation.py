@@ -149,7 +149,16 @@ def redact_pii(
 ) -> DataFrame:
     """Rule-based PII scrubbing (the pre-training redaction stage):
     chained regexp_replace for emails, phone numbers and IPv4s, plus a
-    per-class hit count BEFORE redaction.
+    per-class hit count.
+
+    Counts are PROGRESSIVE -- each class is counted on the text as the
+    replacement chain actually sees it (emails on the raw text, phones
+    after email redaction, IPv4s after phone redaction) -- so every
+    count equals the number of placeholders that class inserted and the
+    counts reconcile exactly with ``red_text``. (Raw pre-redaction
+    counting would double-count overlaps, e.g. an IPv4 inside an email
+    domain incrementing both n_email and n_ipv4 while only <EMAIL>
+    appears in the output.)
 
     Pure Catalyst -- at 100 TB this is a map-only pass fused into the
     scan (no shuffle at all); ``keep_cols`` carries passthrough columns
@@ -160,14 +169,10 @@ def redact_pii(
     """
     keep = [F.col(c) for c in keep_cols]
     out = df.select(F.col(id_col), *keep, F.col(text_col).alias("red_text"))
-    counts = []
-    for name, pat, _ in PII_PATTERNS:
-        counts.append(
-            F.regexp_count(F.col("red_text"), F.lit(pat)).cast("long").alias(f"n_{name}")
-        )
-    out = out.select(F.col(id_col), *keep_cols, "red_text", *counts)
     for name, pat, token in PII_PATTERNS:
-        out = out.withColumn("red_text", F.regexp_replace("red_text", pat, token))
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col("red_text"), F.lit(pat)).cast("long")
+        ).withColumn("red_text", F.regexp_replace("red_text", pat, token))
     return out.select(
         id_col, *keep_cols, "red_text", "n_email", "n_phone", "n_ipv4",
         ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).alias("had_pii"),

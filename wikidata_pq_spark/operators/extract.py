@@ -22,7 +22,8 @@ from .. import rules
 
 MENTION_SCHEMA = (
     "conv_id string, turn_idx int, pred string, subj_mention string, "
-    "obj_mention string, obj_kind string, rule_idx int, match_idx long"
+    "obj_mention string, obj_kind string, rule_idx int, match_idx long, "
+    "ts timestamp"
 )
 
 TURN_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -54,6 +55,7 @@ def _extract_group(pdf):
             "obj_kind": "string",
             "rule_idx": "int32",
             "match_idx": "int64",
+            "ts": "datetime64[ns]",
         }
     )
 
@@ -104,7 +106,7 @@ def extract_mentions_sql(transcripts: DataFrame) -> DataFrame:
       is the distributed ffill.
     """
     turns = transcripts.select(
-        "conv_id", "turn_idx", F.lower(F.col("text")).alias("t")
+        "conv_id", "turn_idx", "ts", F.lower(F.col("text")).alias("t")
     ).filter(F.col("t").rlike(rules.TRIGGER_REGEX))
 
     rule_structs = []
@@ -121,11 +123,12 @@ def extract_mentions_sql(transcripts: DataFrame) -> DataFrame:
         )
     exploded = (
         turns.select(
-            "conv_id", "turn_idx", F.explode(F.array(*rule_structs)).alias("r")
+            "conv_id", "turn_idx", "ts", F.explode(F.array(*rule_structs)).alias("r")
         )
         .select(
             "conv_id",
             "turn_idx",
+            "ts",
             F.col("r.rule_idx").alias("rule_idx"),
             F.col("r.pred").alias("pred"),
             F.col("r.obj_kind").alias("obj_kind"),
@@ -137,6 +140,7 @@ def extract_mentions_sql(transcripts: DataFrame) -> DataFrame:
             F.col("pair")["1"].alias("obj_mention"),
             "obj_kind", "rule_idx",
             F.col("match_idx").cast("long").alias("match_idx"),
+            "ts",
         )
     )
     w = (
@@ -157,6 +161,7 @@ def extract_mentions_sql(transcripts: DataFrame) -> DataFrame:
         "pred", "subj_mention", "obj_mention", "obj_kind",
         F.col("rule_idx").cast("int").alias("rule_idx"),
         "match_idx",
+        "ts",
     )
 
 
@@ -181,10 +186,16 @@ def extract_mentions(transcripts: DataFrame, method: str = "sql") -> DataFrame:
 
     All three paths are result-identical (tested in
     tests/test_extract_spark.py).
+
+    Output carries ``ts`` -- the asserting turn's timestamp, threaded
+    through so downstream recency views (current_beliefs) can order by
+    wall clock. A ts-less input frame (ad-hoc fixture) gets NULL ts.
     """
+    if "ts" not in transcripts.columns:
+        transcripts = transcripts.withColumn("ts", F.lit(None).cast("timestamp"))
     if method == "sql":
         return extract_mentions_sql(transcripts)
-    turns = transcripts.select("conv_id", "turn_idx", "text").filter(
+    turns = transcripts.select("conv_id", "turn_idx", "text", "ts").filter(
         F.lower(F.col("text")).rlike(rules.TRIGGER_REGEX)
     )
     if method == "grouped":

@@ -126,39 +126,117 @@ def triple_support(triples: DataFrame) -> DataFrame:
 
 
 def comention_edges(
-    mentions: DataFrame, min_count: int = 1, truncate_lineage: bool = True
-) -> DataFrame:
+    mentions: DataFrame,
+    min_count: int = 1,
+    truncate_lineage: bool = True,
+    max_entities_per_conv: int = 10_000,
+    return_audit: bool = False,
+):
     """Entity co-mention edge list: (a, b, n_convs) for entities that
     appear in the same conversation, a < b lexicographically.
 
     Input: mention rows with (conv_id, subj_mention, obj_mention).
     Shape: distinct (conv_id, entity) -> self equi-join ON conv_id ->
     pair counts. Quadratic only WITHIN a conversation's distinct-entity
-    set (bounded and small); the join key is conv_id so skewed
-    conversations are AQE-splittable. This is the standard
-    co-occurrence-graph builder for entity-embedding training data.
+    set; the join key is conv_id so skewed conversations are
+    AQE-splittable. This is the standard co-occurrence-graph builder
+    for entity-embedding training data.
+
+    ``max_entities_per_conv`` bounds the per-conversation fan-out: a
+    pathological conversation with 1e5 distinct entities would emit
+    1e10 pairs, so conversations above the cap are DROPPED WHOLE (not
+    truncated -- a truncated entity set would bias pair counts) and
+    counted. The drop is never silent: pass ``return_audit=True`` to
+    also get the audit frame (conv_id, n_entities) of dropped
+    conversations. The gate is one windowed count over the same
+    conv_id shuffle the self-join needs anyway.
     """
     ents = (
         mentions.select(F.col("conv_id"), F.col("subj_mention").alias("e"))
         .unionByName(mentions.select("conv_id", F.col("obj_mention").alias("e")))
         .distinct()
     )
-    # the distinct entity frame feeds BOTH self-join legs; without
-    # truncation the (possibly expensive) upstream mention plan is
-    # evaluated once per leg per union branch -- 4x. Lazy checkpoint
-    # pays it once (the k_hop/CC discipline; truncate_lineage=False
-    # exists for plan inspection, same as k_hop).
+    from pyspark.sql import Window
+
+    ents = ents.withColumn(
+        "_n_ents", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    )
+    # the gated entity frame feeds BOTH self-join legs (and the audit);
+    # without truncation the (possibly expensive) upstream mention plan
+    # PLUS the windowed count is evaluated once per consumer -- 4x+.
+    # Lazy checkpoint AFTER the window pays both exactly once (the
+    # k_hop/CC discipline; truncate_lineage=False exists for plan
+    # inspection, same as k_hop).
     if truncate_lineage:
         ents = ents.localCheckpoint(eager=False)
-    a = ents.select("conv_id", F.col("e").alias("a"))
-    b = ents.select("conv_id", F.col("e").alias("b"))
-    return (
+    audit = (
+        ents.filter(F.col("_n_ents") > max_entities_per_conv)
+        .groupBy("conv_id")
+        .agg(F.first("_n_ents").cast("long").alias("n_entities"))
+    )
+    kept = ents.filter(F.col("_n_ents") <= max_entities_per_conv)
+    a = kept.select("conv_id", F.col("e").alias("a"))
+    b = kept.select("conv_id", F.col("e").alias("b"))
+    edges = (
         a.join(b, "conv_id")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
         .filter(F.col("n_convs") >= min_count)
     )
+    return (edges, audit) if return_audit else edges
+
+
+def rank_index(
+    df: DataFrame, col: str, out_col: str = "vidx", n_parts: int | None = None
+) -> DataFrame:
+    """Distributed dense 0-based rank of the (distinct) values of
+    ``col`` -- the scalable replacement for a global
+    ``row_number().over(Window.orderBy(col))``, whose single-partition
+    sort serializes the frame through one task.
+
+    Two-pass shape (the textbook distributed ranking):
+
+    1. range-repartition on ``col`` (partition p holds a contiguous,
+       ascending value range), lazily checkpointed so both passes see
+       the SAME partitioning;
+    2. per-partition counts -> cumulative offsets (one tiny driver
+       collect, n_parts rows -- metadata, not data);
+    3. partition-local rank (window keyed by the partition id, so every
+       window partition is ~|df|/n_parts rows) + the broadcast offset.
+
+    global_rank = offset[pid] + local_rank holds for ANY range
+    boundaries, so the sampling inside repartitionByRange cannot affect
+    correctness -- only balance.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    local = Window.partitionBy("_pid").orderBy(col)
+    return ranged.withColumn(
+        out_col,
+        (F.row_number().over(local) - 1 + F.element_at(off_map, F.col("_pid"))).cast(
+            "long"
+        ),
+    ).drop("_pid")
 
 
 def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
@@ -168,13 +246,13 @@ def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
 
     The draw index is md5-derived (dual-engine recomputable, unlike
     xxhash64) over the triple key, mod vocabulary size; the vocabulary
-    is rank-indexed with a window over a BOUNDED dimension table and
-    broadcast for the index equi-join. Degenerate draws (neg == true
-    object) are marked, not silently dropped -- the training pipeline
-    decides whether to resample or skip.
+    is rank-indexed DISTRIBUTED (``rank_index``: range partitions +
+    per-partition offsets -- no single-partition global window, because
+    a 100-TB KG's entity vocabulary grows with the data) and broadcast
+    for the index equi-join. Degenerate draws (neg == true object) are
+    marked, not silently dropped -- the training pipeline decides
+    whether to resample or skip.
     """
-    from pyspark.sql import Window
-
     vocab = entities.select(F.col("entity_id").alias("neg_obj")).distinct()
     n = vocab.count()  # dimension-table size: driver scalar by design
     if n == 0:
@@ -182,8 +260,7 @@ def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
         # the index join) where the SQL oracle errors -- fail loudly
         # instead of disagreeing with the contract
         raise ValueError("negative_samples: empty entity vocabulary")
-    idx = Window.orderBy("neg_obj")
-    vocab_idx = vocab.withColumn("vidx", F.row_number().over(idx) - 1)
+    vocab_idx = rank_index(vocab, "neg_obj")
     key = F.concat_ws("|", "subj", "pred", "obj")
     draw = (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n
@@ -237,7 +314,15 @@ def pagerank(
     add an aggregate per round); fixed ``iters`` matches how
     production jobs bound cost.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # e is consumed by EVERY iteration (the contrib join) plus the node
+    # derivation -- checkpoint it once after the distinct, or each
+    # iteration's two actions (dangling scalar, ranks materialization)
+    # re-execute the upstream edge plan + distinct shuffle ~2x per round
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("_s").alias("node_id"))
         .union(e.select(F.col("_d").alias("node_id")))
@@ -260,7 +345,11 @@ def pagerank(
             s.withColumn("_r", F.lit(1.0 / n_seeds)), "node_id", "left"
         ).select("node_id", F.coalesce("_r", F.lit(0.0)).alias("_r"))
     noder = noder.localCheckpoint(eager=False)
-    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # also a once-per-run frame consumed every iteration: checkpoint so
+    # the degree aggregate runs once, not once per round
+    out_deg = (
+        e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=False)
+    )
     ranks = noder.select("node_id", F.col("_r").alias("rank"))
     for _ in range(iters):
         # lazy checkpoint: with_deg is consumed TWICE per round (the
@@ -316,17 +405,23 @@ def personalized_pagerank(
 
 
 def current_beliefs(
-    triples: DataFrame, order_cols: tuple = ("conv_id", "turn_idx")
+    triples: DataFrame, order_cols: tuple = ("ts", "conv_id", "turn_idx")
 ) -> DataFrame:
     """Latest-assertion-wins view of the KG: one row per (subj, pred)
     keeping the assertion that ranks highest under ``order_cols``
     descending (object string as the final deterministic tiebreak).
 
-    The default ordering is LEXICOGRAPHIC (conv_id, turn_idx) -- truly
-    temporal only when conversation ids sort chronologically (the
-    synthetic corpora's zero-padded ids do; UUIDs do not). Pass a
-    timestamp-bearing column tuple, e.g. ``("ts",)``, for wall-clock
-    recency.
+    The default ordering is WALL-CLOCK recency: triples carry the
+    assertion timestamp ``ts`` through the pipeline (extract threads the
+    turn's ts), with (conv_id, turn_idx) breaking same-instant ties
+    deterministically. Pass ``order_cols=("conv_id", "turn_idx")``
+    to opt in to the old lexicographic ordering for ts-less frames
+    (truly temporal only when conversation ids sort chronologically).
+
+    Provenance columns are DERIVED from ``order_cols``: the winning
+    row's value of each order column is returned as ``last_<col>`` --
+    so the output shape always matches the ordering actually used, and
+    a ts-ordered frame without conv_id/turn_idx still works.
 
     The belief-revision / upsert semantics of a living KG -- at scale
     this is the MERGE-INTO read shape: one window per (subj, pred),
@@ -334,6 +429,13 @@ def current_beliefs(
     """
     from pyspark.sql import Window
 
+    missing = [c for c in order_cols if c not in triples.columns]
+    if missing:
+        raise ValueError(
+            f"current_beliefs: order_cols {missing} not in triples columns "
+            f"{triples.columns}; pass order_cols matching your frame "
+            "(e.g. ('conv_id', 'turn_idx') for ts-less triples)"
+        )
     w = Window.partitionBy("subj", "pred").orderBy(
         *[F.desc(c) for c in order_cols], F.desc("obj")
     )
@@ -342,8 +444,7 @@ def current_beliefs(
         .filter(F.col("_rn") == 1)
         .select(
             "subj", "pred", "obj",
-            F.col("conv_id").alias("last_conv"),
-            F.col("turn_idx").alias("last_turn"),
+            *[F.col(c).alias(f"last_{c}") for c in order_cols],
         )
     )
 

@@ -53,7 +53,8 @@ def link_mentions(
     strategy: str = "broadcast",
     n_salt: int = 8,
 ) -> DataFrame:
-    """mentions -> linked triples (subj, pred, obj, obj_kind, conv_id, turn_idx).
+    """mentions -> linked triples (subj, pred, obj, obj_kind, conv_id,
+    turn_idx[, ts]).
 
     Subject mentions and entity-valued object mentions resolve through
     the alias dictionary (inner join = drop unlinkable, mirroring the
@@ -93,7 +94,13 @@ def link_mentions(
         obj_joined.filter(~is_ent | F.col("_obj_ent").isNotNull())
         .withColumn("obj", F.when(is_ent, F.col("_obj_ent")).otherwise(F.col("obj_mention")))
     )
-    return out.select("subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx")
+    # ts (the asserting turn's timestamp) threads through when the
+    # mention frame carries it -- kept optional so ts-less mention
+    # frames (older fixtures, ad-hoc tests) still link
+    cols = ["subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx"]
+    if "ts" in mentions.columns:
+        cols.append("ts")
+    return out.select(*cols)
 
 
 def char_ngram_set(s_col, n: int = 3):

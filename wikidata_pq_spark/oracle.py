@@ -18,7 +18,7 @@ import pandas as pd
 
 from . import rules
 
-TRIPLE_COLUMNS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+TRIPLE_COLUMNS = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
 
 
 def oracle_extract(transcripts: pd.DataFrame) -> pd.DataFrame:
@@ -35,9 +35,9 @@ def oracle_link(mentions: pd.DataFrame, alias_dict: pd.DataFrame) -> pd.DataFram
     is_ent = out["obj_kind"].eq("entity")
     out["obj"] = out["obj_mention"].where(~is_ent, out["obj_mention"].map(amap))
     out = out[out["subj"].notna() & out["obj"].notna()]
-    return out[["subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx"]].reset_index(
-        drop=True
-    )
+    return out[
+        ["subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx", "ts"]
+    ].reset_index(drop=True)
 
 
 def union_find_components(same_as: pd.DataFrame) -> dict[str, str]:

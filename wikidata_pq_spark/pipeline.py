@@ -306,7 +306,7 @@ class ChunkedKGPipeline:
             linked = linking_mod.link_mentions(mentions, alias_dict)
             triples = (
                 canon_mod.apply_canonical(linked, comps)
-                .select("subj", "pred", "obj", "conv_id", "turn_idx")
+                .select("subj", "pred", "obj", "conv_id", "turn_idx", "ts")
                 .distinct()
                 .withColumn("chunk", F.lit(i))
                 .withColumn("bucket", tableio.bucket_column("subj", self.n_buckets))

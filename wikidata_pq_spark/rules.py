@@ -76,7 +76,10 @@ TRIGGER_REGEX = (
     "|was founded in|employs"
 )
 
-# Output columns of mention-level extraction (pre-linking).
+# Output columns of mention-level extraction (pre-linking). ``ts`` is
+# the asserting TURN's timestamp, threaded through so downstream views
+# (current_beliefs) can order assertions by wall-clock recency instead
+# of lexicographic (conv_id, turn_idx).
 MENTION_COLUMNS = [
     "conv_id",
     "turn_idx",
@@ -86,13 +89,14 @@ MENTION_COLUMNS = [
     "obj_kind",
     "rule_idx",
     "match_idx",
+    "ts",
 ]
 
 
 def extract_turn_mentions(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-turn mention extraction (no cross-turn state).
 
-    ``pdf`` needs columns (conv_id, turn_idx, text). Returns
+    ``pdf`` needs columns (conv_id, turn_idx, text, ts). Returns
     MENTION_COLUMNS rows, one per regex match; ``subj_mention`` may be
     the unresolved pronoun. Vectorized: one ``str.extractall`` pass per
     rule over the whole batch (the branch-per-datatype shape of
@@ -112,6 +116,13 @@ def extract_turn_mentions(pdf: pd.DataFrame) -> pd.DataFrame:
         hits = hits.reset_index()
         hits["conv_id"] = pdf["conv_id"].to_numpy()[hits["_row"].to_numpy()]
         hits["turn_idx"] = pdf["turn_idx"].to_numpy()[hits["_row"].to_numpy()]
+        # thread the asserting turn's timestamp; ts-less frames (ad-hoc
+        # fixtures) get NaT so the column is always present downstream
+        hits["ts"] = (
+            pdf["ts"].to_numpy()[hits["_row"].to_numpy()]
+            if "ts" in pdf.columns
+            else pd.NaT
+        )
         hits["pred"] = rule.pred
         hits["obj_kind"] = rule.obj_kind
         hits["rule_idx"] = rule_idx
