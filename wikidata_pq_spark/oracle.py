@@ -92,6 +92,77 @@ def oracle_triples(
     return out
 
 
+def oracle_entity_edges(
+    transcripts: pd.DataFrame,
+    alias_dict: pd.DataFrame,
+    same_as: pd.DataFrame,
+) -> pd.DataFrame:
+    """Directed entity-entity KG edge set (canonical subj -> canonical
+    entity-valued obj, distinct) -- the graph the PageRank contract
+    cells score. Derived from the SAME independent pandas pipeline as
+    oracle_triples, so the Spark chain's edge set is cross-checked for
+    free by the rank comparison."""
+    mentions = oracle_extract(transcripts)
+    linked = oracle_link(mentions, alias_dict)
+    canon = oracle_canonicalize(linked, same_as)
+    ent = canon[canon["obj_kind"].eq("entity")]
+    return ent[["subj", "obj"]].drop_duplicates().reset_index(drop=True)
+
+
+def pagerank_reference(
+    edges: pd.DataFrame,
+    damping: float = 0.85,
+    iters: int = 20,
+    seeds: list | None = None,
+) -> pd.DataFrame:
+    """Pure-python power iteration (node dicts, deterministic sorted
+    order) mirroring operators.graph.pagerank's exact formulation:
+    restart-vector damping, dangling mass returned through the restart
+    vector, seeds restricted to nodes present in the graph. Shares NO
+    code with the Spark implementation -- this is the independent
+    reference the kg_pagerank / kg_ppr contract cells export as a
+    golden (the same role numpy power iteration plays in
+    tests/test_graph.py).
+
+    Returns (node_id, rank) with rank rounded to 8 dp, matching the
+    Spark operator's output contract.
+    """
+    nodes = sorted(set(edges["subj"]) | set(edges["obj"]))
+    out_adj: dict[str, set] = {u: set() for u in nodes}
+    for s, d in zip(edges["subj"], edges["obj"]):
+        out_adj[s].add(d)
+    n = len(nodes)
+    if n == 0:
+        raise ValueError("pagerank_reference: empty edge frame")
+    if seeds is None:
+        r0 = {u: 1.0 / n for u in nodes}
+    else:
+        present = sorted(set(seeds) & set(nodes))
+        if not present:
+            raise ValueError("pagerank_reference: no seed appears in the graph")
+        w = 1.0 / len(present)
+        r0 = {u: (w if u in set(present) else 0.0) for u in nodes}
+    r = dict(r0)
+    for _ in range(iters):
+        dangling = sum(r[u] for u in nodes if not out_adj[u])
+        nxt = {u: 0.0 for u in nodes}
+        for u in nodes:
+            deg = len(out_adj[u])
+            if deg:
+                c = r[u] / deg
+                for v in sorted(out_adj[u]):
+                    nxt[v] += c
+        r = {
+            u: (1.0 - damping) * r0[u]
+            + damping * dangling * r0[u]
+            + damping * nxt[u]
+            for u in nodes
+        }
+    return pd.DataFrame(
+        {"node_id": nodes, "ref_rank": [round(r[u], 8) for u in nodes]}
+    )
+
+
 # --------------------------------------------------------------------------
 # Independent golden flattener for the reference-shaped entity rows
 # (pure python over parsed JSON -- no Spark, no shared code with
