@@ -428,3 +428,95 @@ def test_streaming_corpus_ingest_composition(spark, tmp_path):
     # the redaction did real work inside the stream
     assert "<EMAIL>" in got.set_index("doc_id").loc[0, "red_text"]
     assert "<PHONE>" in got.set_index("doc_id").loc[4, "red_text"]
+
+
+def test_current_beliefs_mid_epoch_kill_restart(spark, tmp_path):
+    """Incremental latest-assertion-wins maintenance (the MERGE-INTO
+    analogue): two epochs of triples with a crash injected AFTER the
+    first epoch's argmax partial lands but BEFORE the checkpoint
+    commits. On restart the replay overwrites exactly its own epoch
+    partition, and the reduced view equals the one-shot batch
+    current_beliefs over the full history -- including a cross-epoch
+    supersede (epoch-2 assertion with a LATER ts beats epoch-1's
+    winner) and a stale late arrival (epoch-2 ts EARLIER than epoch-1's
+    winner must NOT regress the belief)."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wikidata_pq_spark.operators import graph
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
+    file1 = [
+        ("Q1", "lives_in", "paris", "c1", 2, "2024-01-01 10:00:00"),
+        ("Q1", "lives_in", "berlin", "c1", 9, "2024-01-01 18:00:00"),
+        ("Q2", "works_at", "acme", "c2", 1, "2024-02-01 08:00:00"),
+    ]
+    file2 = [
+        # supersedes Q1's epoch-1 winner (later wall clock)
+        ("Q1", "lives_in", "tokyo", "c3", 1, "2024-03-01 09:00:00"),
+        # STALE late arrival: earlier than Q2's epoch-1 winner
+        ("Q2", "works_at", "initech", "c0", 4, "2024-01-15 07:00:00"),
+        ("Q3", "likes", "tea", "c4", 2, "2024-01-20 11:00:00"),
+    ]
+
+    def mk(rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "triples_in")
+    d1, d2 = mk(file1), mk(file2)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "beliefs"), str(tmp_path / "ckpt")
+    crash_marker = tmp_path / "crashed_once"
+
+    def chaos_batch(batch_df, epoch_id):
+        inc.merge_current_beliefs(batch_df, out, epoch_id, n_buckets=4)
+        if not crash_marker.exists():
+            crash_marker.write_text("x")
+            raise RuntimeError("injected crash after partial write")
+
+    def start():
+        stream = (
+            spark.readStream
+            .schema(
+                "subj string, pred string, obj string, conv_id string, "
+                "turn_idx long, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(chaos_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(120)
+    assert crash_marker.exists()
+
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = (
+        inc.read_current_beliefs(spark, out)
+        .toPandas().set_index(["subj", "pred"]).sort_index()
+    )
+    full = (
+        graph.current_beliefs(d1.unionByName(d2))
+        .toPandas().set_index(["subj", "pred"]).sort_index()
+    )
+    assert got.index.equals(full.index)
+    for col in ["obj", "last_ts", "last_conv_id", "last_turn_idx"]:
+        assert (got[col] == full[col]).all(), col
+    # the semantic assertions, independent of the batch operator
+    assert got.loc[("Q1", "lives_in"), "obj"] == "tokyo"      # superseded
+    assert got.loc[("Q2", "works_at"), "obj"] == "acme"       # stale ignored
+    assert got.loc[("Q3", "likes"), "obj"] == "tea"           # new key

@@ -276,3 +276,119 @@ def incremental_triple_support(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental current-beliefs maintenance (the MERGE-INTO analogue for
+# the latest-assertion-wins view; VERDICT r4 item 7). Same epoch-partial
+# shape as the triple-support rollup: argmax is associative, so each
+# epoch stores only its per-(subj, pred) winner and the read side
+# reduces winners -- the view is maintained without ever re-scanning
+# committed epochs. Reference analogue: the resumable state machine
+# (reference: state.py:30-35) applied to a live view.
+# --------------------------------------------------------------------------
+
+BELIEF_ORDER_COLS = ("ts", "conv_id", "turn_idx")
+
+
+def _best_struct(order_cols: tuple):
+    """The comparison key: lexicographic max over (order_cols..., obj)
+    == the batch operator's row_number window ordered desc by each
+    order col with obj as the final deterministic tiebreak."""
+    return F.max(
+        F.struct(*[F.col(c).alias(c) for c in order_cols], F.col("obj").alias("obj"))
+    ).alias("_best")
+
+
+def merge_current_beliefs(
+    batch: DataFrame,
+    out_dir: str,
+    epoch_id: int,
+    order_cols: tuple = BELIEF_ORDER_COLS,
+    n_buckets: int = 16,
+) -> None:
+    """Merge one batch of triples into the latest-assertion-wins view
+    by writing the batch's per-(subj, pred) ARGMAX partial under its
+    own ``epoch=N`` partition (dynamic partition-overwrite, so an
+    at-least-once replay replaces exactly its own partial -- the same
+    idempotency-from-layout design as ``merge_triple_support``).
+
+    Argmax under a fixed ordering is associative and commutative:
+    max(max(A), max(B)) == max(A ∪ B) -- so per-epoch winners lose no
+    information and the read-side reduce is exact regardless of epoch
+    arrival order. Each partial is O(distinct keys in the batch), not
+    O(batch rows): the epoch store stays a rollup, never a log.
+    """
+    from ..sources import tableio
+
+    agg = (
+        batch.groupBy("subj", "pred")
+        .agg(_best_struct(order_cols))
+        .select(
+            "subj",
+            "pred",
+            F.col("_best.obj").alias("obj"),
+            *[F.col(f"_best.{c}").alias(f"last_{c}") for c in order_cols],
+        )
+        .withColumn("bucket", tableio.bucket_column("subj", n_buckets))
+        .withColumn("epoch", F.lit(int(epoch_id)))
+    )
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "bucket")
+        .parquet(out_dir)
+    )
+
+
+def read_current_beliefs(
+    spark: SparkSession,
+    out_dir: str,
+    order_cols: tuple = BELIEF_ORDER_COLS,
+) -> DataFrame:
+    """Reduce the per-epoch argmax partials into the current view --
+    identical output contract to ``operators.graph.current_beliefs``
+    run over the full triple history: (subj, pred, obj, last_<col>...).
+    """
+    raw = spark.read.parquet(out_dir)
+    renamed = raw.select(
+        "subj",
+        "pred",
+        "obj",
+        *[F.col(f"last_{c}").alias(c) for c in order_cols],
+    )
+    return (
+        renamed.groupBy("subj", "pred")
+        .agg(_best_struct(order_cols))
+        .select(
+            "subj",
+            "pred",
+            F.col("_best.obj").alias("obj"),
+            *[F.col(f"_best.{c}").alias(f"last_{c}") for c in order_cols],
+        )
+    )
+
+
+def incremental_current_beliefs(
+    stream_triples: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    order_cols: tuple = BELIEF_ORDER_COLS,
+    n_buckets: int = 16,
+):
+    """Streaming wrapper: foreachBatch(merge_current_beliefs) with an
+    availableNow trigger; the streaming checkpoint resumes a killed job
+    at the next uncommitted batch and a replayed batch overwrites
+    exactly its own epoch partition."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_current_beliefs(
+            batch_df, out_dir, epoch_id, order_cols=order_cols, n_buckets=n_buckets
+        )
+
+    return (
+        stream_triples.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
