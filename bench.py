@@ -72,19 +72,38 @@ def main() -> None:
     # between reps drops any frame a query persisted, so every rep
     # measures the COLD plan (JVM and OS page cache stay warm -- that
     # part is stable and is not what we are benchmarking).
+    #
+    # Cross-round convention (pinned in round 5, judge-requested):
+    # headline = min, median ALSO published per cell; any cell whose
+    # first-pass rep spread (max/min) exceeds 2x gets topped up to
+    # ``reps_hi`` reps so one noisy window can't set its estimate.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps_hi = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_HI", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     kg_rows = 0
     for name in BENCH_QUERIES:
         fn = contracts.QUERIES[name]
         samples = []
-        for _ in range(reps):
+
+        def one_rep():
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
+            return n
+
+        for _ in range(reps):
+            n = one_rep()
+        while max(samples) / min(samples) > 2.0 and len(samples) < reps_hi:
+            n = one_rep()
         timings[name] = min(samples)
+        srt = sorted(samples)
+        mid = len(srt) // 2
+        medians[name] = round(
+            srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
+        )
         rep_times[name] = samples
         if name == "kg_triples":
             kg_rows = n
@@ -95,10 +114,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "median_total_sec": round(sum(medians.values()), 3),
         "sf": sf,
         "cpus": cpus,
         "reps": reps,
-        "estimator": "min",
+        "reps_hi_spread_gate": 2.0,
+        "estimator": "min (median published; >2x-spread cells topped up to reps_hi)",
         "rep_times": rep_times,
         "kg_triples": kg_rows,
         "kg_triples_per_sec": round(kg_rows / timings["kg_triples"], 1)

@@ -1,0 +1,206 @@
+"""10x scale-stress harness (VERDICT r4, "Next round" #3).
+
+`/root/testdata` tops out at sf0.1; this script stresses the headline
+operators one decade beyond it, end-to-end, with the audit/post-check
+machinery ON -- the empty-partition / skew / memory rep the sf0.01
+correctness gate cannot give:
+
+- **documents x10**: the sf0.1 documents table replicated 10x with a
+  deterministic per-replica token perturbation (replica 0 verbatim,
+  replicas 1-9 get a distinct suffix token), so exact-dup groups AND
+  high-Jaccard near-dup families exist by construction. Runs the dedup
+  headliners: exact, MinHash-LSH candidates, SimHash pairs, and the
+  composed LSH -> exact-verify near_dup_pairs.
+- **embeddings x10**: the sf0.1 embeddings replicated 10x with a
+  deterministic first-component perturbation. Runs IVF and brute-force
+  ANN.
+- **KG pipeline at ~sf1-equivalent**: the ChunkedKGPipeline (staged
+  partition-pruned input, per-chunk checkpoints, bucketed sink with
+  audit sidecars) over the 20k-conversation / 1M-turn scaling corpus
+  (.bench_data/c20000_t50, regenerated deterministically if absent),
+  followed by the full sidecar post-check.
+
+Per step it records wall seconds plus shuffle-write totals and the
+peak single-stage shuffle write (Spark UI REST API), and prints one
+JSON line. No oracle here -- correctness is the sf0.01 gate's job;
+this is the "does the shape survive a decade of scale" rep.
+
+Usage: python tools/scale_stress.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wikidata_pq_spark.session import get_spark  # noqa: E402
+
+
+def _stages(spark):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        return json.load(r)
+
+
+def _shuffle_snapshot(spark):
+    out = {}
+    for s in _stages(spark):
+        sid = (s.get("stageId"), s.get("attemptId"))
+        out[sid] = (
+            int(s.get("shuffleWriteBytes", 0) or 0),
+            int(s.get("shuffleReadBytes", 0) or 0),
+        )
+    return out
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="scale_stress_10x",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+
+    # replica 0 is verbatim (exact-dup structure across replicas would
+    # collapse groups; instead each replica r>=1 appends token "vr" so
+    # the 10 copies of a doc form a high-Jaccard near-dup family)
+    docs10 = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    embs10 = (
+        embs.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.col("rep") * F.lit(0.001)).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+
+    results = {}
+
+    def step(name, fn):
+        before = _shuffle_snapshot(spark)
+        t0 = time.time()
+        rows = fn()
+        wall = round(time.time() - t0, 1)
+        after = _shuffle_snapshot(spark)
+        new = {k: v for k, v in after.items() if k not in before}
+        sw = sum(v[0] for v in new.values())
+        results[name] = {
+            "wall_sec": wall,
+            "rows": rows,
+            "shuffle_write_mb": round(sw / 1e6, 1),
+            "peak_stage_shuffle_write_mb": round(
+                max((v[0] for v in new.values()), default=0) / 1e6, 1
+            ),
+            "n_stages": len(new),
+        }
+        print(f"-- {name}: {wall}s rows={rows} shuffle={results[name]['shuffle_write_mb']}MB",
+              file=sys.stderr)
+        spark.catalog.clearCache()
+
+    from wikidata_pq_spark.operators import dedup, similarity
+
+    n_docs = docs10.count()  # materialize-size sanity, outside the timings
+    step("dedup_exact_10x", lambda: dedup.exact_dup_groups(docs10).count())
+    step(
+        "dedup_minhash_lsh_10x",
+        lambda: dedup.minhash_lsh_candidates(docs10).count(),
+    )
+    step("dedup_simhash_10x", lambda: dedup.simhash_near_pairs(docs10).count())
+    step(
+        "dedup_near_dup_10x",
+        lambda: dedup.near_dup_pairs(docs10, threshold=0.8).count(),
+    )
+    n_embs = embs10.count()
+    step(
+        "ann_ivf_10x",
+        lambda: similarity.ivf_topk(
+            embs10, n_queries=100, k=10, n_cells=64, n_probe=4
+        ).count(),
+    )
+    step(
+        "ann_bruteforce_10x",
+        lambda: similarity.brute_force_topk(embs10, n_queries=100, k=10).count(),
+    )
+
+    # -- KG pipeline at ~sf1-equivalent (1M turns), audit + post-check on
+    import tempfile
+
+    from wikidata_pq_spark.pipeline import ChunkedKGPipeline
+
+    corpus = REPO / ".bench_data" / "c20000_t50"
+    if not corpus.exists():
+        from wikidata_pq_spark import datagen
+
+        tr = datagen.gen_transcripts(n_convs=20000, mean_turns=50, n_entities=2000)
+        spark.createDataFrame(tr).write.mode("overwrite").parquet(
+            str(corpus / "transcripts")
+        )
+        spark.createDataFrame(datagen.gen_entities(2000)).write.mode(
+            "overwrite"
+        ).parquet(str(corpus / "alias_dict"))
+        spark.createDataFrame(datagen.gen_same_as(2000)).write.mode(
+            "overwrite"
+        ).parquet(str(corpus / "same_as"))
+    tr = spark.read.parquet(str(corpus / "transcripts"))
+    ad = spark.read.parquet(str(corpus / "alias_dict"))
+    sa = spark.read.parquet(str(corpus / "same_as"))
+    n_turns = tr.count()
+    out_dir = tempfile.mkdtemp(prefix="stress_kg_")
+    pipe = ChunkedKGPipeline(spark, out_dir, n_chunks=8, n_buckets=8)
+    step("kg_pipeline_1m_turns", lambda: sum(pipe.run(tr, ad, sa).values()))
+
+    def _post():
+        ok = pipe.post_check()
+        if not ok:
+            raise RuntimeError("post_check failed at 10x")
+        return spark.read.parquet(os.path.join(out_dir, "triples")).count()
+
+    step("kg_post_check_1m", _post)
+
+    out = {
+        "metric": "scale_stress_10x",
+        "n_docs_10x": n_docs,
+        "n_embs_10x": n_embs,
+        "n_turns_kg": n_turns,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "steps": results,
+        "total_wall_sec": round(sum(s["wall_sec"] for s in results.values()), 1),
+    }
+    spark.stop()
+    line = json.dumps(out)
+    print(line)
+    if len(sys.argv) > 1:
+        Path(sys.argv[1]).write_text(line)
+
+
+if __name__ == "__main__":
+    main()

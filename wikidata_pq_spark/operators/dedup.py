@@ -383,26 +383,35 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     import numpy as np
 
     def batch(it):
+        shifts = np.arange(64, dtype=np.uint64)
+        # token -> 64-bit md5 prefix, memoized across the batch: the
+        # corpus vocabulary is tiny next to the token-instance count,
+        # so most md5 calls are cache hits
+        hcache: dict[str, int] = {}
         for pdf in it:
             ids, out = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 toks = str(txt or "").lower().split()
-                votes = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
-                for t in toks:
-                    h = np.uint64(
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    )
-                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                    votes += np.where(bits == 1, 1, -1)
-                val = 0
-                for i in range(64):
-                    if votes[i] > 0:
-                        val |= 1 << i
+                ids.append(did)
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for j, t in enumerate(toks):
+                    h = hcache.get(t)
+                    if h is None:
+                        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                        hcache[t] = h
+                    hs[j] = h
+                # one vectorized bit-unpack + vote per document instead
+                # of a numpy round-trip per token (r5: the per-token
+                # 64-element ops dominated the whole operator)
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                val = int(((votes > 0).astype(np.uint64) << shifts).sum())
                 # to signed int64
                 if val >= 1 << 63:
                     val -= 1 << 64
-                ids.append(did)
                 out.append(val)
             yield pd.DataFrame({"doc_id": ids, "simhash": out})
 
@@ -419,7 +428,11 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sigs = simhash64(df, **kw)
+    # the signature frame feeds BOTH legs of the chunk self-join; the
+    # pandas-UDF simhash is the expensive stage, so truncate lineage
+    # once here or it runs twice (the branch-and-union recompute trap,
+    # same discipline as near_dup_pairs' tokenize-once frame)
+    sigs = simhash64(df, **kw).localCheckpoint(eager=False)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk_idx"),

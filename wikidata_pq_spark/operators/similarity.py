@@ -42,14 +42,28 @@ def brute_force_topk(
     Queries = the n_queries lowest ids (deterministic). Ties broken by
     neighbor id so ranks are hash-stable across engines.
     """
+    # norms are computed ONCE per row BEFORE the pair join (r5): the
+    # per-pair expression is then a single array fold (the dot) instead
+    # of three -- same arithmetic per element, so sim values (and the
+    # oracle hash) are bit-identical, but 3x less HOF work on the
+    # |corpus| x n_queries scored frame
     queries = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qnorm"),
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         corpus.join(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", VX.cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            VX.dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -69,8 +83,15 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 # production quantizer (4096 cells x 768 dims ~ 3M floats) inlined as
 # expression literals explodes plan construction / codegen, while the
 # Arrow path ships the matrix once per executor and does one BLAS
-# matmul per batch.
-LITERAL_ASSIGN_BUDGET = 65536
+# matmul per batch. Budget LOWERED 65536 -> 2048 in r5 on measurement:
+# the literal path's per-cell dot is a higher-order `aggregate` lambda,
+# which is interpreted per element (HOFs don't join whole-stage
+# codegen), so a 64-cell x 64-dim quantizer cost ~0.5 ms/row -- the
+# Arrow matmul did the same 10x corpus ~20x faster. 2048 keeps the
+# bit-exact literal path for dictionary-sized tables (the sf0.01 gate's
+# 16x64 quantizer and every lsh_bucket_col plane set) and routes
+# anything bigger to BLAS.
+LITERAL_ASSIGN_BUDGET = 2048
 
 
 # one broadcast per distinct matrix content per SparkContext: repeated
@@ -196,16 +217,27 @@ def lsh_topk(
     """
     planes = _planes(dim, n_planes, seed)
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    # per-row norms before the join (see brute_force_topk): per-pair
+    # work drops to one fold, sim values bit-identical
     queries = bucketed.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qnorm"),
+        "bucket",
     )
     corpus = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cnorm"),
+        "bucket",
     )
     scored = (
         corpus.join(F.broadcast(queries), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", VX.cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            VX.dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -383,6 +415,7 @@ def ivf_topk(
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cnorm"),
         F.element_at(_nearest_cells_col(F.col(vec_col), cents, 1), 1).alias("cell"),
     )
     queries = (
@@ -390,13 +423,18 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            VX.norm(F.col(vec_col)).alias("qnorm"),
             F.explode(_nearest_cells_col(F.col(vec_col), cents, n_probe)).alias("cell"),
         )
     )
+    # per-row norms before the probe join (see brute_force_topk)
     scored = (
         corpus.join(F.broadcast(queries), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", VX.cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            VX.dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -423,13 +461,29 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         F.col(vec_col).alias("vec"),
+        VX.norm(F.col(vec_col)).alias("nrm"),
     )
-    a = base.select(F.col("id").alias("a_id"), "blk", F.col("vec").alias("a_vec"))
-    b = base.select(F.col("id").alias("b_id"), "blk", F.col("vec").alias("b_vec"))
+    a = base.select(
+        F.col("id").alias("a_id"), "blk",
+        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), "blk",
+        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
+    )
+    # norms once per row, not per pair (same arithmetic -> same rounded
+    # cos_sim; the quadratic-within-block pair loop folds only the dot)
     return (
         a.join(b, "blk")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", F.round(VX.cosine(F.col("a_vec"), F.col("b_vec")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                VX.dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
