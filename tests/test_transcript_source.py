@@ -54,4 +54,7 @@ def test_pipeline_runs_on_generated_source(spark):
     adf = spark.createDataFrame(datagen.gen_entities(100))
     out = linking.link_mentions(extract.extract_mentions(df), adf)
     assert out.count() > 0
-    assert set(out.columns) == {"subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx"}
+    # ts rides along since r5 (wall-clock current-beliefs ordering)
+    assert set(out.columns) == {
+        "subj", "pred", "obj", "obj_kind", "conv_id", "turn_idx", "ts",
+    }
