@@ -110,3 +110,87 @@ def test_spark_submit_pyfiles_multi_executor(spark, tmp_path):
     # the multi-executor run's triples equal the local run's semantics:
     # non-empty and readable from a fresh session
     assert spark.read.parquet(str(out / "triples")).count() > 0
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit missing")
+def test_spark_submit_maintain_beliefs_incremental(spark, tmp_path):
+    """The belief-maintenance job drains available triple files per
+    submission and is INCREMENTAL across submissions: the second
+    spark-submit processes only the newly-arrived file (one new epoch
+    partition), and the reduced view equals the batch operator over the
+    full history both times."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from build_pyfiles import build
+
+    zip_path = build(tmp_path / "pkg.zip")
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
+
+    def mk(rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(pdf)
+
+    f1 = mk([
+        ("Q1", "lives_in", "paris", "c1", 2, "2024-01-01 10:00:00"),
+        ("Q2", "works_at", "acme", "c2", 1, "2024-02-01 08:00:00"),
+    ])
+    f2 = mk([
+        ("Q1", "lives_in", "tokyo", "c3", 1, "2024-03-01 09:00:00"),
+    ])
+    src = tmp_path / "triples_in"
+    f1.coalesce(1).write.mode("append").parquet(str(src))
+
+    out, ckpt, view = tmp_path / "partials", tmp_path / "ckpt", tmp_path / "view"
+
+    def submit():
+        proc = subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--py-files", str(zip_path),
+                str(REPO / "jobs" / "maintain_beliefs.py"),
+                "--triples-in", str(src),
+                "--out", str(out),
+                "--checkpoint", str(ckpt),
+                "--view-out", str(view),
+                "--n-buckets", "4",
+            ],
+            capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(
+            [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    def epochs():
+        return {p.name for p in Path(out).glob("epoch=*")}
+
+    status = submit()
+    assert status["status"] == "complete" and status["view_rows"] == 2
+    first_epochs = epochs()
+    got1 = spark.read.parquet(str(view)).toPandas().set_index(["subj", "pred"])
+    assert got1.loc[("Q1", "lives_in"), "obj"] == "paris"
+
+    # a new file arrives; re-submission processes ONLY it
+    f2.coalesce(1).write.mode("append").parquet(str(src))
+    status = submit()
+    assert status["view_rows"] == 2
+    new_epochs = epochs() - first_epochs
+    assert len(new_epochs) == 1  # incremental: exactly one new partial
+    got2 = (
+        spark.read.parquet(str(view)).toPandas().set_index(["subj", "pred"])
+    )
+    full = (
+        graph.current_beliefs(f1.unionByName(f2))
+        .toPandas().set_index(["subj", "pred"])
+    )
+    assert got2.loc[("Q1", "lives_in"), "obj"] == "tokyo"
+    for col in ["obj", "last_ts", "last_conv_id", "last_turn_idx"]:
+        assert (got2[col].sort_index() == full[col].sort_index()).all(), col
