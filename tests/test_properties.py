@@ -83,3 +83,72 @@ def test_union_find_properties(pairs):
     for v, lbl in comp.items():
         assert comp[lbl] == lbl
         assert oracle._id_key(lbl) <= oracle._id_key(v)
+
+# --------------------------------------------------------------------------
+# r5 pure-python cores: the PageRank oracle reference and the
+# progressive PII-redaction invariant.
+# --------------------------------------------------------------------------
+
+node = st.integers(0, 12).map(lambda i: f"Q{i}")
+edge_lists = st.lists(st.tuples(node, node), min_size=1, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(edge_lists)
+def test_pagerank_reference_is_a_distribution(edges):
+    """Mass conservation + determinism for the power-iteration oracle:
+    ranks sum to 1 (dangling mass returned via the restart vector),
+    every rank is positive, and the result is independent of edge-list
+    order/duplication."""
+    pdf = pd.DataFrame(edges, columns=["subj", "obj"])
+    r1 = oracle.pagerank_reference(pdf, iters=15).set_index("node_id")["ref_rank"]
+    assert abs(r1.sum() - 1.0) < 1e-6
+    assert (r1 > 0).all()
+    shuffled = pd.concat([pdf.sample(frac=1.0, random_state=5), pdf.head(3)])
+    r2 = oracle.pagerank_reference(shuffled, iters=15).set_index("node_id")["ref_rank"]
+    assert r1.sort_index().equals(r2.sort_index())
+
+
+@settings(max_examples=60, deadline=None)
+@given(edge_lists, st.lists(node, min_size=1, max_size=5))
+def test_pagerank_reference_seeded_mass_on_graph(edges, seeds):
+    """PPR: mass still sums to 1 with any seed set that overlaps the
+    graph; fully-disjoint seeds raise."""
+    pdf = pd.DataFrame(edges, columns=["subj", "obj"])
+    nodes = set(pdf["subj"]) | set(pdf["obj"])
+    if not set(seeds) & nodes:
+        import pytest
+
+        with pytest.raises(ValueError, match="no seed"):
+            oracle.pagerank_reference(pdf, iters=10, seeds=seeds)
+        return
+    r = oracle.pagerank_reference(pdf, iters=10, seeds=seeds).set_index("node_id")[
+        "ref_rank"
+    ]
+    assert abs(r.sum() - 1.0) < 1e-6
+
+
+pii_fragment = st.sampled_from([
+    "hello world", "a.b+c@test.org", "555-123-4567", "10.0.0.1",
+    "user@10.0.0.12.example.com", "call 555 987 6543", "x@y.io",
+    "192.168.0.1 and 8.8.8.8", "",
+])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(pii_fragment, min_size=1, max_size=5))
+def test_progressive_redaction_counts_reconcile(parts):
+    """The python replay of the redaction chain: progressive per-class
+    counts equal the placeholders each step inserts, for ANY
+    composition of overlapping PII fragments."""
+    import re
+
+    text = " ".join(parts)
+    from wikidata_pq_spark.operators.curation import PII_PATTERNS
+
+    red, counts = text, {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = len(re.findall(pat, red))
+        red = re.sub(pat, token, red)
+    for name, _, token in PII_PATTERNS:
+        assert counts[name] == red.count(token)

@@ -339,3 +339,37 @@ def test_quantizer_null_embedding_parity(spark, monkeypatch):
     udf_b, udf_c = run()
     assert (lit_b == udf_b).all()
     assert (lit_c == udf_c).all()
+
+
+def test_brute_force_matmul_path_equivalent(emb):
+    """The BLAS scale path (auto-dispatched above LITERAL_ASSIGN_BUDGET
+    of per-row scoring work) returns the same (query, neighbor, rank)
+    set as the bit-exact fold path on tie-free data, with the same
+    schema."""
+    df, _ = emb
+    fold = (
+        similarity.brute_force_topk(df, n_queries=3, k=4)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    qpd = (
+        df.filter(df.vec_id < 3)
+        .selectExpr("vec_id as query_id", "embedding as qvec")
+        .orderBy("query_id").toPandas()
+    )
+    blas = (
+        similarity._brute_force_topk_matmul(df, qpd, 4, "vec_id", "embedding")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(fold.columns) == list(blas.columns)
+    assert fold.equals(blas.astype(fold.dtypes.to_dict()))
+    # and the auto dispatch actually flips past the budget
+    old = similarity.LITERAL_ASSIGN_BUDGET
+    try:
+        similarity.LITERAL_ASSIGN_BUDGET = 10  # 3 queries x 8 dims > 10
+        auto = (
+            similarity.brute_force_topk(df, n_queries=3, k=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    finally:
+        similarity.LITERAL_ASSIGN_BUDGET = old
+    assert fold.equals(auto.astype(fold.dtypes.to_dict()))

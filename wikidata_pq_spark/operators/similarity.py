@@ -41,7 +41,31 @@ def brute_force_topk(
 
     Queries = the n_queries lowest ids (deterministic). Ties broken by
     neighbor id so ranks are hash-stable across engines.
+
+    Two scoring paths, same auto-dispatch design as the quantizer
+    assignment (r5): per-corpus-row scoring work is n_queries x dim
+    multiplies, and above ``LITERAL_ASSIGN_BUDGET`` of it the
+    interpreted per-element HOF fold loses badly to one BLAS matmul per
+    Arrow batch against the broadcast query matrix (measured 11 s vs
+    ~2 s on 100 queries x 20k x 64-dim). The query matrix is bounded
+    driver metadata (n_queries rows -- the same class as the IVF
+    training sample), so collecting it is not a data collect. Below the
+    budget the join+fold path is kept: bit-exact left-fold sims, which
+    is what the sf0.01 gate (10 x 64 = 640 floats) pins. The two paths
+    agree exactly away from float ties (equivalence-tested); at a tie
+    the deterministic neighbor-id break applies within each path.
     """
+    qpd = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .orderBy("query_id")
+        .toPandas()  # bounded: n_queries rows of metadata
+    )
+    if len(qpd) == 0:
+        raise ValueError("brute_force_topk: no query rows under n_queries")
+    dim = len(qpd["qvec"].iloc[0])
+    if len(qpd) * dim > LITERAL_ASSIGN_BUDGET:
+        return _brute_force_topk_matmul(emb, qpd, k, id_col, vec_col)
     # norms are computed ONCE per row BEFORE the pair join (r5): the
     # per-pair expression is then a single array fold (the dot) instead
     # of three -- same arithmetic per element, so sim values (and the
@@ -68,6 +92,63 @@ def brute_force_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _brute_force_topk_matmul(
+    emb: DataFrame, qpd: "pd.DataFrame", k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """BLAS scale path for brute-force top-k, as a distributed top-k:
+    each Arrow batch computes one cosine matrix (|batch| x dim @
+    dim x n_queries against the broadcast query matrix) and emits only
+    its batch-local top-(k+1) per query, selected under the SAME total
+    order the final ranking uses ((-sim, neighbor_id) -- selection by a
+    total order commutes with partitioning, so the global top-k is
+    exactly contained in the union of batch top-(k+1)s; +1 survives the
+    self-pair removal). The global merge then windows over
+    O(batches x queries x k) rows instead of |corpus| x n_queries --
+    the shuffle is candidate-sized, not cross-product-sized."""
+    Q = np.array(qpd["qvec"].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([int(q) for q in qpd["query_id"]], dtype=np.int64)
+    bc = _broadcast_matrix(Qn)
+
+    def batches(it):
+        mat = bc.value if bc is not None else Qn
+        for pdf in it:
+            v = pdf[vec_col]
+            mask = v.notna().to_numpy()
+            if not mask.any():
+                continue
+            ids = pdf[id_col].to_numpy()[mask].astype(np.int64)
+            x = np.array(v[mask].tolist(), dtype=np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = xn @ mat.T  # (batch, n_queries)
+            kk = min(k + 1, sims.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                sel = np.lexsort((ids, -col))[:kk]
+                out_q.append(np.full(kk, qids[qi]))
+                out_n.append(ids[sel])
+                out_s.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cands = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        batches, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
