@@ -1023,6 +1023,24 @@ def q_comention_edges(spark, sf):
     return graph.comention_edges(mentions, min_count=2)
 
 
+def q_comention_audit(spark, sf):
+    """The co-mention fan-out gate's drop-audit frame (r5): the
+    conversations whose distinct-entity count exceeds the cap, with
+    their counts -- the never-silent half of the
+    ``max_entities_per_conv`` gate. Oracle: the same windowed count
+    recomputed in SQL over the exported mention golden."""
+    from .operators import graph
+
+    tr, _, _ = _kg_frames(_sf_name(sf))
+    if _is_gate_sf(sf):
+        _export_golden(kg_oracle.oracle_extract(tr), "comention_mentions_golden")
+    mentions = extract.extract_mentions(spark.createDataFrame(tr))
+    _, audit = graph.comention_edges(
+        mentions, max_entities_per_conv=20, return_audit=True
+    )
+    return audit
+
+
 def q_negative_samples(spark, sf):
     """Deterministic negative sampling over the full Catalyst triple
     chain. Oracle: the pandas oracle's triples + entity vocabulary
@@ -1313,6 +1331,7 @@ EXTRA_QUERIES = {
     "kg_triples_arrow": q_kg_triples_arrow,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_lang_id": q_lang_id,
+    "kg_comention_audit": q_comention_audit,
 }
 
 # --------------------------------------------------------------------------
@@ -2098,6 +2117,19 @@ ORACLE_SQL = {
           FROM e x JOIN e y ON x.conv_id = y.conv_id AND x.e < y.e)
         SELECT a, b, CAST(count(*) AS BIGINT) AS n_convs
         FROM p GROUP BY a, b HAVING count(*) >= 2
+    """,
+    # -- the fan-out gate's drop audit: distinct entities per conv,
+    #    conversations above the cap surfaced with their counts
+    "kg_comention_audit": f"""
+        WITH m AS (SELECT conv_id, subj_mention, obj_mention
+                   FROM read_parquet('{_export_path("comention_mentions_golden")}')),
+        e AS (
+          SELECT DISTINCT conv_id, e FROM (
+            SELECT conv_id, subj_mention AS e FROM m
+            UNION ALL SELECT conv_id, obj_mention AS e FROM m)),
+        c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_entities
+              FROM e GROUP BY conv_id)
+        SELECT conv_id, n_entities FROM c WHERE n_entities > 20
     """,
     # -- negative sampling: md5 hex-fold draw + ranked-vocab join,
     #    all re-derived in SQL over the exported golden triples/vocab
