@@ -55,9 +55,17 @@ def main() -> None:
 
     out = {"status": "complete"}
     if args.view_out:
-        view = inc.read_current_beliefs(spark, args.out)
-        view.write.mode("overwrite").parquet(args.view_out)
-        out["view_rows"] = spark.read.parquet(args.view_out).count()
+        import os
+
+        # bootstrap poll: a healthy scheduler may run before the first
+        # triple file exists -- zero batches means the partial store was
+        # never created, which is an empty view, not a failure
+        if os.path.isdir(args.out):
+            view = inc.read_current_beliefs(spark, args.out)
+            view.write.mode("overwrite").parquet(args.view_out)
+            out["view_rows"] = spark.read.parquet(args.view_out).count()
+        else:
+            out["view_rows"] = 0
     print(json.dumps(out))
     spark.stop()
 

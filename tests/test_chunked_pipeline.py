@@ -166,3 +166,24 @@ def test_empty_chunks_survive_both_paths(spark, tmp_path):
         assert pipe.post_check()
         results[staged] = _tset(pipe.triples())
     assert results[True] == results[False] and len(results[True]) > 0
+
+
+def test_resume_refuses_pre_ts_sink(spark, spark_corpus, tmp_path):
+    """A sink written by the pre-wall-clock schema (no ts column) must
+    refuse to resume: mixing 5- and 6-column chunk footers would make
+    plain parquet reads silently drop ts or null it for old chunks."""
+    import pandas as pd
+
+    out = str(tmp_path / "kg")
+    old = pd.DataFrame(
+        [("Q1", "likes", "Q2", "c1", 1)],
+        columns=["subj", "pred", "obj", "conv_id", "turn_idx"],
+    )
+    spark.createDataFrame(old).write.parquet(out + "/triples/chunk=0/bucket=0")
+    pipe = ChunkedKGPipeline(spark, out, n_chunks=4)
+    with pytest.raises(RuntimeError, match="WITHOUT the ts column"):
+        pipe.run(
+            spark_corpus["transcripts"],
+            spark_corpus["alias_dict"],
+            spark_corpus["same_as"],
+        )

@@ -373,3 +373,48 @@ def test_brute_force_matmul_path_equivalent(emb):
     finally:
         similarity.LITERAL_ASSIGN_BUDGET = old
     assert fold.equals(auto.astype(fold.dtypes.to_dict()))
+
+
+def test_brute_force_null_vectors_both_paths(spark):
+    """Null-embedding parity between the fold and BLAS paths: null
+    corpus rows rank AFTER real neighbors (padding the top-k when a
+    query has too few real ones), and a null QUERY vector forces the
+    bit-exact fold path regardless of the budget."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(8).tolist() for _ in range(6)]
+    pdf = pd.DataFrame({
+        "vec_id": range(10),
+        "embedding": vecs + [None, None, None, None],
+    })
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    fold = (
+        similarity.brute_force_topk(df, n_queries=2, k=8)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    old = similarity.LITERAL_ASSIGN_BUDGET
+    try:
+        similarity.LITERAL_ASSIGN_BUDGET = 4  # 2 x 8 > 4 -> matmul path
+        blas = (
+            similarity.brute_force_topk(df, n_queries=2, k=8)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    finally:
+        similarity.LITERAL_ASSIGN_BUDGET = old
+    assert fold.equals(blas.astype(fold.dtypes.to_dict()))
+    # query 0 has 5 real neighbors (1-5) and 4 null rows (6-9): k=8
+    # keeps all reals then nulls 6,7,8 in ascending-id order (9 cut)
+    q0 = fold[fold["query_id"] == 0].sort_values("rank")["neighbor_id"].tolist()
+    assert len(q0) == 8 and q0[-3:] == [6, 7, 8]
+    # null QUERY vector: auto path must not crash (fold fallback)
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "embedding"] = None
+    df2 = spark.createDataFrame(pdf2, schema="vec_id long, embedding array<double>")
+    try:
+        similarity.LITERAL_ASSIGN_BUDGET = 4
+        got = similarity.brute_force_topk(df2, n_queries=2, k=3).toPandas()
+    finally:
+        similarity.LITERAL_ASSIGN_BUDGET = old
+    assert len(got) > 0

@@ -707,6 +707,23 @@ _SF_SCALE = {"sf0.001": (100, 8), "sf0.01": (400, 12), "sf0.1": (2000, 20)}
 
 
 @lru_cache(maxsize=4)
+def _oracle_mentions_pdf(name: str):
+    """Memoized pandas-oracle mention set per sf (shared by the
+    extraction, co-mention and co-mention-audit cells -- the oracle
+    pipeline is driver-side and identical for all of them)."""
+    tr, _, _ = _kg_frames(name)
+    return kg_oracle.oracle_extract(tr)
+
+
+@lru_cache(maxsize=4)
+def _oracle_entity_edges_pdf(name: str):
+    """Memoized pandas-oracle entity-edge set per sf (shared by the
+    kg_pagerank and kg_ppr cells)."""
+    tr, ents, sa = _kg_frames(name)
+    return kg_oracle.oracle_entity_edges(tr, ents, sa)
+
+
+@lru_cache(maxsize=4)
 def _kg_frames(name: str):
     n_convs, mean_turns = _SF_SCALE.get(name, (200, 10))
     tr = datagen.gen_transcripts(n_convs=n_convs, mean_turns=mean_turns, n_entities=500)
@@ -732,7 +749,7 @@ def q_kg_mentions(spark, sf):
     a golden parquet the SQL just re-reads."""
     tr, _, _ = _kg_frames(_sf_name(sf))
     if _is_gate_sf(sf):
-        _export_golden(kg_oracle.oracle_extract(tr), "kg_extract_mentions_golden")
+        _export_golden(_oracle_mentions_pdf(_sf_name(sf)), "kg_extract_mentions_golden")
     return extract.extract_mentions(spark.createDataFrame(tr), method="partitions")
 
 
@@ -1018,7 +1035,7 @@ def q_comention_edges(spark, sf):
 
     tr, _, _ = _kg_frames(_sf_name(sf))
     if _is_gate_sf(sf):
-        _export_golden(kg_oracle.oracle_extract(tr), "comention_mentions_golden")
+        _export_golden(_oracle_mentions_pdf(_sf_name(sf)), "comention_mentions_golden")
     mentions = extract.extract_mentions(spark.createDataFrame(tr))
     return graph.comention_edges(mentions, min_count=2)
 
@@ -1033,7 +1050,7 @@ def q_comention_audit(spark, sf):
 
     tr, _, _ = _kg_frames(_sf_name(sf))
     if _is_gate_sf(sf):
-        _export_golden(kg_oracle.oracle_extract(tr), "comention_mentions_golden")
+        _export_golden(_oracle_mentions_pdf(_sf_name(sf)), "comention_mentions_golden")
     mentions = extract.extract_mentions(spark.createDataFrame(tr))
     _, audit = graph.comention_edges(
         mentions, max_entities_per_conv=20, return_audit=True
@@ -1175,8 +1192,7 @@ def _pagerank_cell(spark, sf, name: str, seeds_mod: int | None):
     sides; rank magnitudes are ~1e-2."""
     from .operators import graph
 
-    tr, ents, sa = _kg_frames(_sf_name(sf))
-    edges_pd = kg_oracle.oracle_entity_edges(tr, ents, sa)
+    edges_pd = _oracle_entity_edges_pdf(_sf_name(sf))
     if seeds_mod is None:
         seed_ids = None
         seeds_df = None

@@ -403,11 +403,17 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                         h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
                         hcache[t] = h
                     hs[j] = h
-                # one vectorized bit-unpack + vote per document instead
-                # of a numpy round-trip per token (r5: the per-token
-                # 64-element ops dominated the whole operator)
-                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
+                # vectorized bit-unpack + vote (r5: the per-token
+                # 64-element ops dominated the whole operator), chunked
+                # along the token axis so the (chunk x 64) temporary is
+                # bounded (~32 MB) even for a pathological multi-million
+                # -token document -- an unchunked unpack would allocate
+                # ~1 KB/token in the Arrow python worker
+                votes = np.zeros(64, dtype=np.int64)
+                for lo in range(0, len(hs), 65536):
+                    chunk = hs[lo : lo + 65536]
+                    bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                    votes += (2 * bits - 1).sum(axis=0)
                 val = int(((votes > 0).astype(np.uint64) << shifts).sum())
                 # to signed int64
                 if val >= 1 << 63:

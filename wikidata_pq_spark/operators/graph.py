@@ -261,13 +261,18 @@ def negative_samples(triples: DataFrame, entities: DataFrame) -> DataFrame:
         # instead of disagreeing with the contract
         raise ValueError("negative_samples: empty entity vocabulary")
     vocab_idx = rank_index(vocab, "neg_obj")
+    # size-gated broadcast (n is already a driver scalar): a hard hint
+    # on a growing KG vocabulary would OOM executors at the scale the
+    # rank_index rewrite exists for -- AQE never demotes a hard hint,
+    # so past the gate the join shuffles on vidx like apply_canonical
+    hint = F.broadcast if n <= 5_000_000 else (lambda df: df)
     key = F.concat_ws("|", "subj", "pred", "obj")
     draw = (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n
     ).alias("vidx")
     return (
         triples.select("subj", "pred", "obj", draw)
-        .join(F.broadcast(vocab_idx), "vidx")
+        .join(hint(vocab_idx), "vidx")
         .select(
             "subj", "pred", "obj", "neg_obj",
             (F.col("neg_obj") == F.col("obj")).alias("degenerate"),

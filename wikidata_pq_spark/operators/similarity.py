@@ -63,9 +63,14 @@ def brute_force_topk(
     )
     if len(qpd) == 0:
         raise ValueError("brute_force_topk: no query rows under n_queries")
-    dim = len(qpd["qvec"].iloc[0])
-    if len(qpd) * dim > LITERAL_ASSIGN_BUDGET:
-        return _brute_force_topk_matmul(emb, qpd, k, id_col, vec_col)
+    # a NULL query vector is a degenerate case the bit-exact fold path
+    # already defines (null sims, neighbor-id order) -- keep it there
+    # rather than teach the matmul path a special case
+    q_ok = qpd["qvec"].notna()
+    if q_ok.all():
+        dim = len(qpd["qvec"].iloc[0])
+        if len(qpd) * dim > LITERAL_ASSIGN_BUDGET:
+            return _brute_force_topk_matmul(emb, qpd, k, id_col, vec_col)
     # norms are computed ONCE per row BEFORE the pair join (r5): the
     # per-pair expression is then a single array fold (the dot) instead
     # of three -- same arithmetic per element, so sim values (and the
@@ -120,25 +125,47 @@ def _brute_force_topk_matmul(
         for pdf in it:
             v = pdf[vec_col]
             mask = v.notna().to_numpy()
-            if not mask.any():
-                continue
-            ids = pdf[id_col].to_numpy()[mask].astype(np.int64)
-            x = np.array(v[mask].tolist(), dtype=np.float64)
-            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-            sims = xn @ mat.T  # (batch, n_queries)
-            kk = min(k + 1, sims.shape[0])
             out_q, out_n, out_s = [], [], []
-            for qi in range(sims.shape[1]):
-                col = sims[:, qi]
-                sel = np.lexsort((ids, -col))[:kk]
-                out_q.append(np.full(kk, qids[qi]))
-                out_n.append(ids[sel])
-                out_s.append(col[sel])
+            if mask.any():
+                ids = pdf[id_col].to_numpy()[mask].astype(np.int64)
+                x = np.array(v[mask].tolist(), dtype=np.float64)
+                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                sims = xn @ mat.T  # (batch, n_queries)
+                kk = min(k + 1, sims.shape[0])
+                for qi in range(sims.shape[1]):
+                    col = sims[:, qi]
+                    sel = np.lexsort((ids, -col))[:kk]
+                    out_q.append(np.full(kk, qids[qi]))
+                    out_n.append(ids[sel])
+                    out_s.append(col[sel])
+            # null-vector corpus rows: the fold path scores them as NULL
+            # sims, which desc-nulls-last ranks AFTER every real sim but
+            # still inside the top-k when a query has < k real
+            # neighbors. Emit the batch's k+1 lowest-id null rows as
+            # null-sim candidates so both paths return identical ranks.
+            null_ids = np.sort(pdf[id_col].to_numpy()[~mask].astype(np.int64))[: k + 1]
+            n_null = 0
+            if null_ids.size:
+                n_null = null_ids.size * len(qids)
+                for q in qids:
+                    out_q.append(np.full(null_ids.size, q))
+                    out_n.append(null_ids)
+                    out_s.append(np.full(null_ids.size, np.nan))
+            if not out_q:
+                continue
+            # explicit-mask FloatingArray: ONLY the backfill rows become
+            # true NULLs (ranked last, like the fold path); a genuine
+            # NaN sim from a zero-norm vector stays NaN (which Spark
+            # sorts above every double -- also the fold semantics)
+            vals = np.concatenate(out_s)
+            na_mask = np.zeros(len(vals), dtype=bool)
+            if n_null:
+                na_mask[-n_null:] = True
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
+                    "sim": pd.arrays.FloatingArray(vals, na_mask),
                 }
             )
 

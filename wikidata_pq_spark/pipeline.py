@@ -273,6 +273,26 @@ class ChunkedKGPipeline:
         from .operators import extract as extract_mod
         from .operators import linking as linking_mod
 
+        # resume guard against a sink written by an older triple schema
+        # (r5 added ts): completed chunks would silently mix 5- and
+        # 6-column footers -- plain parquet reads pick ONE schema, so
+        # either ts vanishes or old assertions read as null-ts and lose
+        # every recency comparison. Refuse loudly instead.
+        existing = self.path("triples")
+        if os.path.isdir(existing):
+            try:
+                old_cols = set(self.spark.read.parquet(existing).columns)
+            except Exception:
+                old_cols = None  # no readable part files yet: nothing to guard
+            if old_cols is not None and "ts" not in old_cols:
+                raise RuntimeError(
+                    "ChunkedKGPipeline: existing sink at "
+                    f"{existing} was written WITHOUT the ts column "
+                    "(pre-wall-clock schema); resuming would mix "
+                    "schemas across chunks. Delete the output dir (or "
+                    "migrate the old chunks) and re-run."
+                )
+
         comps = canon_mod.connected_components(same_as).localCheckpoint()
         chunked = transcripts.withColumn("_chunk", self.chunk_col(self.n_chunks))
 
