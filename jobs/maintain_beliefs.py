@@ -62,10 +62,24 @@ def main() -> None:
         # never created, which is an empty view, not a failure
         if os.path.isdir(args.out):
             view = inc.read_current_beliefs(spark, args.out)
-            view.write.mode("overwrite").parquet(args.view_out)
-            out["view_rows"] = spark.read.parquet(args.view_out).count()
         else:
-            out["view_rows"] = 0
+            # bootstrap: no epoch partial ever landed, but the view
+            # path contract must hold across the boundary -- a consumer
+            # polling view_out reads an EMPTY frame with the stable
+            # schema, not a missing-path error that flips to data after
+            # the first epoch
+            view = spark.createDataFrame(
+                [],
+                "subj string, pred string, obj string, "
+                + ", ".join(
+                    f"last_{c} {t}"
+                    for c, t in zip(
+                        inc.BELIEF_ORDER_COLS, ("timestamp", "string", "long")
+                    )
+                ),
+            )
+        view.write.mode("overwrite").parquet(args.view_out)
+        out["view_rows"] = spark.read.parquet(args.view_out).count()
     print(json.dumps(out))
     spark.stop()
 

@@ -284,3 +284,48 @@ def test_pack_chunks_invariants_random_corpus(spark):
             last = (r["start_off"] + r["n_tokens"] - 1) // L if r["n_tokens"] else r["start_off"] // L
             assert r["last_chunk"] == last
             assert r["n_chunks"] == last - r["first_chunk"] + 1
+
+
+def test_simhash_vectorized_matches_scalar_reference(spark):
+    """The r6 vectorized simhash (np.unique vocab + bulk md5 + gather +
+    reduceat segment votes) must be bit-identical to the r5 scalar
+    definition: per-token md5[:8] bit votes weighted by frequency,
+    sign -> bit, signed int64. Covers empty docs, single-token docs,
+    a doc long enough to take the within-doc chunk fallback, and
+    unicode tokens."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(50)] + ["café", "über", "42", "!?"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(s)))
+        for s in rng.integers(1, 40, size=20)
+    ]
+    texts += ["", None, "one", " ".join(rng.choice(vocab, size=70000))]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = dict(
+        zip(
+            *(lambda d: (d["doc_id"], d["simhash"]))(
+                dedup.simhash64(df).toPandas()
+            )
+        )
+    )
+
+    def scalar_sim(txt):
+        toks = str(txt or "").lower().split()
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        val = sum(1 << b for b in range(64) if votes[b] > 0)
+        return val - (1 << 64) if val >= 1 << 63 else val
+
+    for i, txt in enumerate(texts):
+        assert got[i] == scalar_sim(txt), i

@@ -418,3 +418,69 @@ def test_brute_force_null_vectors_both_paths(spark):
     finally:
         similarity.LITERAL_ASSIGN_BUDGET = old
     assert len(got) > 0
+
+
+def test_brute_force_zero_norm_vectors_both_paths(spark):
+    """Zero-norm (all-zero, non-null) embedding parity (r6, ADVICE):
+    the fold path scores a zero-norm corpus row as NULL sim (non-ANSI
+    div-by-zero), ranked nulls-last; the matmul kernel must route it
+    through the same explicit-NULL backfill instead of emitting NaN.
+    Both batch regimes are exercised: a batch LARGER than k+1 (where
+    the pre-fix lexsort dropped NaN rows) and one smaller (where the
+    pre-fix emitted them to rank first)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(11)
+    n = 30
+    vecs = [rng.standard_normal(8).tolist() for _ in range(n)]
+    vecs[7] = [0.0] * 8   # zero-norm corpus row
+    vecs[23] = [0.0] * 8  # second one, in the top-k tail region
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs})
+
+    def run(df, k):
+        return (
+            similarity.brute_force_topk(df, n_queries=2, k=k)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    old = similarity.LITERAL_ASSIGN_BUDGET
+    for n_parts, k in ((1, 3), (8, 3), (1, 29)):
+        df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+        df = df.repartition(n_parts)
+        fold = run(df, k)
+        try:
+            similarity.LITERAL_ASSIGN_BUDGET = 4  # force matmul path
+            blas = run(df, k)
+        finally:
+            similarity.LITERAL_ASSIGN_BUDGET = old
+        assert fold.equals(blas.astype(fold.dtypes.to_dict())), (n_parts, k)
+        # zero-norm rows never outrank a real neighbor
+        if k == 29:
+            q0 = fold[fold["query_id"] == 0].sort_values("rank")
+            tail = q0["neighbor_id"].tolist()[-2:]
+            assert tail == [7, 23]
+
+    # zero-norm QUERY vector: auto dispatch must fall back to the
+    # bit-exact fold path (NULL sims, neighbor-id order), not crash
+    pdf2 = pdf.copy()
+    df2 = spark.createDataFrame(pdf2, schema="vec_id long, embedding array<double>")
+    try:
+        similarity.LITERAL_ASSIGN_BUDGET = 4
+        got = (
+            similarity.brute_force_topk(
+                df2.withColumn(
+                    "embedding",
+                    F.when(F.col("vec_id") == 0, F.array([F.lit(0.0)] * 8)).otherwise(
+                        F.col("embedding")
+                    ),
+                ),
+                n_queries=2,
+                k=3,
+            ).toPandas()
+        )
+    finally:
+        similarity.LITERAL_ASSIGN_BUDGET = old
+    q0 = got[got["query_id"] == 0].sort_values("rank")["neighbor_id"].tolist()
+    assert q0 == [1, 2, 3]  # all-NULL sims -> ascending neighbor id

@@ -384,42 +384,91 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     def batch(it):
         shifts = np.arange(64, dtype=np.uint64)
-        # token -> 64-bit md5 prefix, memoized across the batch: the
-        # corpus vocabulary is tiny next to the token-instance count,
-        # so most md5 calls are cache hits
+        # token -> 64-bit md5 prefix, memoized ACROSS Arrow batches but
+        # bounded (r6, ADVICE): a high-cardinality partition (ids,
+        # numbers, random tokens) would otherwise grow the memo without
+        # limit in the python worker. Reset once past ~1M entries --
+        # per-batch vocab reuse captures most of the win anyway.
         hcache: dict[str, int] = {}
         for pdf in it:
-            ids, out = [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = str(txt or "").lower().split()
-                ids.append(did)
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.empty(len(toks), dtype=np.uint64)
-                for j, t in enumerate(toks):
-                    h = hcache.get(t)
-                    if h is None:
-                        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                        hcache[t] = h
-                    hs[j] = h
-                # vectorized bit-unpack + vote (r5: the per-token
-                # 64-element ops dominated the whole operator), chunked
-                # along the token axis so the (chunk x 64) temporary is
-                # bounded (~32 MB) even for a pathological multi-million
-                # -token document -- an unchunked unpack would allocate
-                # ~1 KB/token in the Arrow python worker
-                votes = np.zeros(64, dtype=np.int64)
-                for lo in range(0, len(hs), 65536):
-                    chunk = hs[lo : lo + 65536]
-                    bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-                    votes += (2 * bits - 1).sum(axis=0)
-                val = int(((votes > 0).astype(np.uint64) << shifts).sum())
-                # to signed int64
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                out.append(val)
-            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            sigs = np.zeros(n, dtype=np.uint64)
+            # batch-level tokenization: one flat token array + per-doc
+            # lengths, so ALL downstream work is vectorized (r6: the
+            # per-token python loop dominated the r5 profile)
+            docs = [str(t or "").lower().split() for t in pdf[text_col]]
+            lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n)
+            nonempty = lens > 0
+            if nonempty.any():
+                flat = np.concatenate([np.asarray(d, dtype=object) for d in docs if d])
+                # novel-vocabulary hashing: np.unique collapses the
+                # token instances to the batch vocabulary; md5 runs
+                # once per NOVEL token, then a vectorized gather maps
+                # hashes back onto instances
+                vocab, inv = np.unique(flat, return_inverse=True)
+                if len(hcache) > 1_000_000:
+                    hcache.clear()
+                vhash = np.fromiter(
+                    (
+                        hcache[t]
+                        if t in hcache
+                        else hcache.setdefault(
+                            t,
+                            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"),
+                        )
+                        for t in vocab
+                    ),
+                    dtype=np.uint64,
+                    count=len(vocab),
+                )
+                hs = vhash[inv]
+                starts = np.zeros(n, dtype=np.int64)
+                starts[1:] = np.cumsum(lens)[:-1]
+                # segment-summed bit votes, chunked along the DOC axis
+                # so the (tokens x 64) unpack temporary stays bounded
+                # (~32 MB) even on a pathological partition; reduceat
+                # boundaries are doc starts, so votes stay per-doc
+                doc_idx = np.flatnonzero(nonempty)
+                lo = 0
+                while lo < len(doc_idx):
+                    hi = lo
+                    tok_budget = 0
+                    while hi < len(doc_idx) and (
+                        tok_budget == 0 or tok_budget + lens[doc_idx[hi]] <= 65536
+                    ):
+                        tok_budget += lens[doc_idx[hi]]
+                        hi += 1
+                    grp = doc_idx[lo:hi]
+                    if len(grp) == 1 and lens[grp[0]] > 65536:
+                        # pathological single doc above the budget:
+                        # accumulate votes over within-doc token slices
+                        # (the r5 bound) instead of one giant unpack
+                        g = int(grp[0])
+                        acc = np.zeros(64, dtype=np.int64)
+                        end = starts[g] + lens[g]
+                        for t0 in range(starts[g], end, 65536):
+                            chunk = hs[t0 : min(t0 + 65536, end)]
+                            b = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(
+                                np.int64
+                            )
+                            acc += (2 * b - 1).sum(axis=0)
+                        sigs[g] = ((acc > 0).astype(np.uint64) << shifts).sum()
+                    else:
+                        s0 = starts[grp[0]]
+                        s1 = starts[grp[-1]] + lens[grp[-1]]
+                        bits = ((hs[s0:s1, None] >> shifts) & np.uint64(1)).astype(
+                            np.int64
+                        )
+                        signs = 2 * bits - 1
+                        votes = np.add.reduceat(signs, starts[grp] - s0, axis=0)
+                        sigs[grp] = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1)
+                    lo = hi
+            yield pd.DataFrame(
+                # .view(int64): same bits, signed representation --
+                # identical to the r5 scalar two's-complement fold
+                {"doc_id": ids, "simhash": sigs.view(np.int64)}
+            )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batch, SIMHASH_SCHEMA)
 

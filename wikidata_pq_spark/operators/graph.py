@@ -145,11 +145,16 @@ def comention_edges(
     ``max_entities_per_conv`` bounds the per-conversation fan-out: a
     pathological conversation with 1e5 distinct entities would emit
     1e10 pairs, so conversations above the cap are DROPPED WHOLE (not
-    truncated -- a truncated entity set would bias pair counts) and
-    counted. The drop is never silent: pass ``return_audit=True`` to
-    also get the audit frame (conv_id, n_entities) of dropped
-    conversations. The gate is one windowed count over the same
-    conv_id shuffle the self-join needs anyway.
+    truncated -- a truncated entity set would bias pair counts).
+    Auditing the drop is OPT-IN: this builder is lazy (no action runs
+    here, so it cannot count-and-warn without forcing a job), and the
+    default return is the edge frame alone. Callers that must not lose
+    conversations silently pass ``return_audit=True`` and materialize
+    the audit frame (conv_id, n_entities) alongside the edges -- the
+    driver-checked ``kg_comention_audit`` contract cell does exactly
+    this, and any production sink should write both frames. The gate
+    is one windowed count over the same conv_id shuffle the self-join
+    needs anyway.
     """
     ents = (
         mentions.select(F.col("conv_id"), F.col("subj_mention").alias("e"))

@@ -63,14 +63,17 @@ def brute_force_topk(
     )
     if len(qpd) == 0:
         raise ValueError("brute_force_topk: no query rows under n_queries")
-    # a NULL query vector is a degenerate case the bit-exact fold path
-    # already defines (null sims, neighbor-id order) -- keep it there
-    # rather than teach the matmul path a special case
+    # a NULL or zero-norm query vector is a degenerate case the
+    # bit-exact fold path already defines (try_divide by a zero norm =>
+    # NULL sims, ranked nulls-last, neighbor-id order; under Spark 4's
+    # default ANSI mode a bare `/` would THROW instead) -- keep it
+    # there rather than teach the matmul path a special case
     q_ok = qpd["qvec"].notna()
     if q_ok.all():
-        dim = len(qpd["qvec"].iloc[0])
-        if len(qpd) * dim > LITERAL_ASSIGN_BUDGET:
-            return _brute_force_topk_matmul(emb, qpd, k, id_col, vec_col)
+        qmat = np.array(qpd["qvec"].tolist(), dtype=np.float64)
+        if (np.linalg.norm(qmat, axis=1) > 0).all():
+            if qmat.size > LITERAL_ASSIGN_BUDGET:
+                return _brute_force_topk_matmul(emb, qpd, k, id_col, vec_col)
     # norms are computed ONCE per row BEFORE the pair join (r5): the
     # per-pair expression is then a single array fold (the dot) instead
     # of three -- same arithmetic per element, so sim values (and the
@@ -91,7 +94,10 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            VX.dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                VX.dot(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -124,26 +130,43 @@ def _brute_force_topk_matmul(
         mat = bc.value if bc is not None else Qn
         for pdf in it:
             v = pdf[vec_col]
-            mask = v.notna().to_numpy()
+            all_ids = pdf[id_col].to_numpy().astype(np.int64)
+            notna = v.notna().to_numpy()
             out_q, out_n, out_s = [], [], []
-            if mask.any():
-                ids = pdf[id_col].to_numpy()[mask].astype(np.int64)
-                x = np.array(v[mask].tolist(), dtype=np.float64)
-                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-                sims = xn @ mat.T  # (batch, n_queries)
-                kk = min(k + 1, sims.shape[0])
-                for qi in range(sims.shape[1]):
-                    col = sims[:, qi]
-                    sel = np.lexsort((ids, -col))[:kk]
-                    out_q.append(np.full(kk, qids[qi]))
-                    out_n.append(ids[sel])
-                    out_s.append(col[sel])
-            # null-vector corpus rows: the fold path scores them as NULL
-            # sims, which desc-nulls-last ranks AFTER every real sim but
-            # still inside the top-k when a query has < k real
-            # neighbors. Emit the batch's k+1 lowest-id null rows as
-            # null-sim candidates so both paths return identical ranks.
-            null_ids = np.sort(pdf[id_col].to_numpy()[~mask].astype(np.int64))[: k + 1]
+            zero_ids = np.empty(0, dtype=np.int64)
+            if notna.any():
+                ids0 = all_ids[notna]
+                x = np.array(v[notna].tolist(), dtype=np.float64)
+                xnorm = np.linalg.norm(x, axis=1)
+                # zero-norm corpus rows CANNOT enter the matmul: 0/0
+                # normalization yields NaN sims, and NaN diverges from
+                # the fold path's semantics (try_divide by zero =>
+                # NULL, ranked nulls-last) -- Spark sorts NaN ABOVE
+                # every double desc, while np.lexsort sorts NaN keys
+                # last, so large batches would even drop the rows the
+                # small batches rank first. Mask them out and route
+                # them through the explicit-NULL backfill below, the
+                # same treatment as null vectors.
+                pos = xnorm > 0
+                ids = ids0[pos]
+                zero_ids = ids0[~pos]
+                if ids.size:
+                    xn = x[pos] / xnorm[pos, None]
+                    sims = xn @ mat.T  # (batch, n_queries)
+                    kk = min(k + 1, sims.shape[0])
+                    for qi in range(sims.shape[1]):
+                        col = sims[:, qi]
+                        sel = np.lexsort((ids, -col))[:kk]
+                        out_q.append(np.full(kk, qids[qi]))
+                        out_n.append(ids[sel])
+                        out_s.append(col[sel])
+            # null-vector AND zero-norm corpus rows: the fold path
+            # scores both as NULL sims, which desc-nulls-last ranks
+            # AFTER every real sim but still inside the top-k when a
+            # query has < k real neighbors. Emit the batch's k+1
+            # lowest-id such rows as null-sim candidates so both paths
+            # select under the SAME total order.
+            null_ids = np.sort(np.concatenate([all_ids[~notna], zero_ids]))[: k + 1]
             n_null = 0
             if null_ids.size:
                 n_null = null_ids.size * len(qids)
@@ -153,10 +176,9 @@ def _brute_force_topk_matmul(
                     out_s.append(np.full(null_ids.size, np.nan))
             if not out_q:
                 continue
-            # explicit-mask FloatingArray: ONLY the backfill rows become
-            # true NULLs (ranked last, like the fold path); a genuine
-            # NaN sim from a zero-norm vector stays NaN (which Spark
-            # sorts above every double -- also the fold semantics)
+            # explicit-mask FloatingArray: the backfill rows become
+            # true NULLs (ranked last, like the fold path); every
+            # value row is a real finite sim -- no NaN can reach Spark
             vals = np.concatenate(out_s)
             na_mask = np.zeros(len(vals), dtype=bool)
             if n_null:
@@ -344,7 +366,10 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            VX.dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                VX.dot(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -541,7 +566,10 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            VX.dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                VX.dot(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -587,8 +615,10 @@ def embedding_dup_pairs(
         .withColumn(
             "cos_sim",
             F.round(
-                VX.dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("a_nrm") * F.col("b_nrm")),
+                F.try_divide(
+                    VX.dot(F.col("a_vec"), F.col("b_vec")),
+                    F.col("a_nrm") * F.col("b_nrm"),
+                ),
                 6,
             ),
         )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -282,8 +283,18 @@ class ChunkedKGPipeline:
         if os.path.isdir(existing):
             try:
                 old_cols = set(self.spark.read.parquet(existing).columns)
-            except Exception:
-                old_cols = None  # no readable part files yet: nothing to guard
+            except AnalysisException as e:
+                # ONLY the empty-sink shapes mean "nothing to guard": a
+                # dir with no part files (schema inference fails) or a
+                # vanished path. A corrupt / partially-written sink
+                # raises something else and MUST propagate -- swallowing
+                # it would resume into exactly the mixed-schema state
+                # this guard exists to prevent.
+                cond = getattr(e, "getErrorClass", lambda: None)() or str(e)
+                if "UNABLE_TO_INFER_SCHEMA" in cond or "PATH_NOT_FOUND" in cond:
+                    old_cols = None
+                else:
+                    raise
             if old_cols is not None and "ts" not in old_cols:
                 raise RuntimeError(
                     "ChunkedKGPipeline: existing sink at "
