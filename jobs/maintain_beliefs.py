@@ -7,6 +7,8 @@
         --triples-in <dir of triple parquet files (streamed)> \
         --out <epoch-partial store> --checkpoint <streaming checkpoint> \
         [--view-out <dir>]    # also materialize the reduced view
+        [--compact]           # maintenance: fold live epoch partials
+                              # into one generation (view unchanged)
 
 Each submission drains the currently-available input files
 (availableNow trigger), writing per-epoch argmax partials; the
@@ -32,6 +34,13 @@ def main() -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--view-out", default=None)
     p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="after draining, reduce all live epoch partials into one "
+        "compacted generation (crash-safe manifest protocol; the view "
+        "is unchanged, the store shrinks)",
+    )
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("maintain_beliefs").getOrCreate()
@@ -54,6 +63,15 @@ def main() -> None:
     q.awaitTermination()
 
     out = {"status": "complete"}
+    if args.compact:
+        import os
+
+        if os.path.isdir(args.out):
+            out["compaction"] = inc.compact_current_beliefs(
+                spark, args.out, n_buckets=args.n_buckets
+            )
+        else:
+            out["compaction"] = {"compacted": 0, "live": []}
     if args.view_out:
         import os
 

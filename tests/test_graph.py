@@ -425,3 +425,65 @@ def test_personalized_pagerank_absent_seed_mass_conserved(spark):
     disjoint = spark.createDataFrame(pd.DataFrame({"node_id": [99]}))
     with pytest.raises(ValueError, match="no seed node appears"):
         graph.personalized_pagerank(edf, disjoint)
+
+
+def test_multi_seed_ppr_matches_sequential(spark):
+    """One-pass multi-seed PPR == per-set sequential personalized
+    PageRank (r6, VERDICT item 5): identical (node, rank) per set to
+    float-summation noise; the shared-edge-join formulation must not
+    leak mass between sets."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (5, 0), (4, 5), (1, 5)]
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["src_id", "dst_id"]))
+    sets = {"sA": [0], "sB": [2, 4], "sC": [5, 1, 3]}
+    ssdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(k, v) for k, vs in sets.items() for v in vs],
+            columns=["seed_set_id", "node_id"],
+        )
+    )
+    multi = (
+        graph.multi_seed_ppr(edf, ssdf, damping=0.85, iters=15)
+        .toPandas()
+        .set_index(["seed_set_id", "node_id"])["rank"]
+    )
+    assert len(multi) == 3 * 6
+    for k, vs in sets.items():
+        seq = (
+            graph.personalized_pagerank(
+                edf,
+                spark.createDataFrame(pd.DataFrame({"node_id": vs})),
+                damping=0.85,
+                iters=15,
+            )
+            .toPandas()
+            .set_index("node_id")["rank"]
+        )
+        for node in seq.index:
+            assert abs(multi[(k, node)] - seq[node]) < 1e-8, (k, node)
+        assert abs(multi[k].sum() - 1.0) < 1e-6
+
+
+def test_multi_seed_ppr_guards(spark):
+    """A seed set with no graph overlap raises (naming the set); an
+    empty seed frame raises."""
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.operators import graph
+
+    edf = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 0)], columns=["src_id", "dst_id"])
+    )
+    ss = spark.createDataFrame(
+        pd.DataFrame(
+            {"seed_set_id": ["ok", "ghost"], "node_id": [0, 99]}
+        )
+    )
+    with _pt.raises(ValueError, match="ghost"):
+        graph.multi_seed_ppr(edf, ss)
+    with _pt.raises(ValueError, match="empty seed_sets"):
+        graph.multi_seed_ppr(edf, ss.filter("node_id < 0"))

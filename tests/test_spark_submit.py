@@ -146,7 +146,7 @@ def test_spark_submit_maintain_beliefs_incremental(spark, tmp_path):
 
     out, ckpt, view = tmp_path / "partials", tmp_path / "ckpt", tmp_path / "view"
 
-    def submit():
+    def submit(*extra):
         proc = subprocess.run(
             [
                 "spark-submit",
@@ -161,6 +161,7 @@ def test_spark_submit_maintain_beliefs_incremental(spark, tmp_path):
                 "--checkpoint", str(ckpt),
                 "--view-out", str(view),
                 "--n-buckets", "4",
+                *extra,
             ],
             capture_output=True, text=True, timeout=420,
         )
@@ -194,3 +195,14 @@ def test_spark_submit_maintain_beliefs_incremental(spark, tmp_path):
     assert got2.loc[("Q1", "lives_in"), "obj"] == "tokyo"
     for col in ["obj", "last_ts", "last_conv_id", "last_turn_idx"]:
         assert (got2[col].sort_index() == full[col].sort_index()).all(), col
+
+    # --compact (r6): a maintenance submission reduces the epoch
+    # partials into one generation; the view is unchanged
+    status = submit("--compact")
+    assert status["compaction"]["compacted"] >= 2
+    assert epochs() == {f"epoch={status['compaction']['generation']}"}
+    got3 = (
+        spark.read.parquet(str(view)).toPandas().set_index(["subj", "pred"])
+    )
+    for col in ["obj", "last_ts", "last_conv_id", "last_turn_idx"]:
+        assert (got3[col].sort_index() == full[col].sort_index()).all(), col

@@ -520,3 +520,102 @@ def test_current_beliefs_mid_epoch_kill_restart(spark, tmp_path):
     assert got.loc[("Q1", "lives_in"), "obj"] == "tokyo"      # superseded
     assert got.loc[("Q2", "works_at"), "obj"] == "acme"       # stale ignored
     assert got.loc[("Q3", "likes"), "obj"] == "tea"           # new key
+
+
+def test_compact_triple_support_then_stream_equals_batch(spark, tmp_path):
+    """Epoch compaction (r6, VERDICT item 6): compacting epochs [0..k]
+    into one generation then merging NEW epochs gives the identical
+    rollup to the uncompacted store and to the batch operator; stale
+    epoch dirs are GC'd; a replayed pre-compaction epoch is ignored by
+    the manifest and collected by the next compaction."""
+    import os
+
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    epochs = [
+        [("Q1", "likes", "Q2", "c1", 3), ("Q7", "knows", "Q8", "c1", 1)],
+        [("Q1", "likes", "Q2", "c3", 1), ("Q9", "near", "Q10", "c4", 2)],
+        [("Q1", "likes", "Q2", "c5", 2), ("Q7", "knows", "Q8", "c6", 7)],
+        [("Q11", "in", "Q12", "c7", 1), ("Q1", "likes", "Q2", "c1", 8)],
+    ]
+    dfs = [spark.createDataFrame(pd.DataFrame(e, columns=cols)) for e in epochs]
+    out = str(tmp_path / "support")
+    # epochs 0..2 -> compact -> epoch 3 -> read
+    for i in range(3):
+        inc.merge_triple_support(dfs[i], out, epoch_id=i, n_buckets=4)
+    summary = inc.compact_triple_support(spark, out, n_buckets=4)
+    assert summary["compacted"] == 3 and summary["generation"] == -1
+    assert inc._epochs_on_disk(out) == [-1]
+    inc.merge_triple_support(dfs[3], out, epoch_id=3, n_buckets=4)
+
+    got = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    full = graph.triple_support(allb).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert (got["n_support"] == full["n_support"]).all()
+    assert (got["first_conv"] == full["first_conv"]).all()
+    assert (got["first_turn"] == full["first_turn"]).all()
+    assert (got["n_convs_est"] == full["n_convs"]).all()
+
+    # at-least-once replay of a COMPACTED epoch: dir reappears, the
+    # manifest ignores it (rows already in generation -1), and the
+    # next compaction both absorbs epoch 3 and GCs the replayed dir
+    inc.merge_triple_support(dfs[1], out, epoch_id=1, n_buckets=4)
+    assert set(inc._epochs_on_disk(out)) == {-1, 1, 3}
+    assert inc.live_epochs(out) == [-1, 3]
+    again = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert (again["n_support"] == full["n_support"]).all()
+    s2 = inc.compact_triple_support(spark, out, n_buckets=4)
+    assert s2["generation"] == -2 and 1 in s2["removed_epochs"]
+    assert inc._epochs_on_disk(out) == [-2]
+    final = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert (final["n_support"] == full["n_support"]).all()
+
+    # single-generation store: compaction is a no-op
+    assert inc.compact_triple_support(spark, out, n_buckets=4)["compacted"] == 0
+
+
+def test_compact_current_beliefs_then_stream_equals_batch(spark, tmp_path):
+    """Belief-store compaction: argmax of argmaxes -- compact then new
+    epochs == the batch latest-assertion-wins view."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
+    ts = pd.Timestamp("2026-01-01", tz="UTC")
+    mk = lambda *rows: spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=cols),
+        schema="subj string, pred string, obj string, conv_id string, "
+        "turn_idx long, ts timestamp",
+    )
+    e0 = mk(("Q1", "ceo", "A", "c1", 1, ts),
+            ("Q2", "hq", "X", "c1", 2, ts + pd.Timedelta("1h")))
+    e1 = mk(("Q1", "ceo", "B", "c2", 1, ts + pd.Timedelta("2h")))
+    e2 = mk(("Q1", "ceo", "C", "c3", 1, ts + pd.Timedelta("30m")),  # older: loses
+            ("Q2", "hq", "Y", "c3", 2, ts + pd.Timedelta("3h")))
+    out = str(tmp_path / "beliefs")
+    inc.merge_current_beliefs(e0, out, epoch_id=0, n_buckets=4)
+    inc.merge_current_beliefs(e1, out, epoch_id=1, n_buckets=4)
+    summary = inc.compact_current_beliefs(spark, out, n_buckets=4)
+    assert summary["compacted"] == 2
+    inc.merge_current_beliefs(e2, out, epoch_id=2, n_buckets=4)
+
+    got = inc.read_current_beliefs(spark, out).toPandas().set_index(
+        ["subj", "pred"]).sort_index()
+    full = graph.current_beliefs(
+        e0.unionByName(e1).unionByName(e2)
+    ).toPandas().set_index(["subj", "pred"]).sort_index()
+    assert (got["obj"] == full["obj"]).all()
+    assert (got["last_ts"] == full["last_ts"]).all()
+    assert (got["last_conv_id"] == full["last_conv_id"]).all()

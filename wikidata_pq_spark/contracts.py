@@ -1239,6 +1239,60 @@ def q_kg_ppr(spark, sf):
     return _pagerank_cell(spark, sf, "kg_ppr", seeds_mod=7)
 
 
+def q_kg_ppr_multiseed(spark, sf):
+    """One-pass multi-seed personalized PageRank (r6, VERDICT item 5):
+    three deterministic seed sets ({Qn : n % m == 0} for m in 5/7/11)
+    scored in a SINGLE power iteration carrying the seed_set_id
+    dimension through the rank frame. Golden = the independent python
+    power iteration run per set (same reference the kg_ppr cell pins),
+    so the shared-edge-join formulation is checked against S separate
+    sequential derivations; returns (seed_set_id, node_id, within_tol).
+    """
+    from .operators import graph
+
+    import pandas as pd
+
+    edges_pd = _oracle_entity_edges_pdf(_sf_name(sf))
+    all_nodes = sorted(set(edges_pd["subj"]) | set(edges_pd["obj"]))
+    sets = {
+        f"mod{m}": [u for u in all_nodes if int(u[1:]) % m == 0]
+        for m in (5, 7, 11)
+    }
+    refpd = pd.concat(
+        [
+            kg_oracle.pagerank_reference(
+                edges_pd, damping=0.85, iters=20, seeds=ids
+            ).assign(seed_set_id=name)
+            for name, ids in sets.items()
+        ],
+        ignore_index=True,
+    )
+    if _is_gate_sf(sf):
+        _export_golden(
+            refpd[["seed_set_id", "node_id"]], "kg_ppr_multiseed_golden"
+        )
+    ssdf = spark.createDataFrame(
+        [(k, v) for k, vs in sets.items() for v in vs],
+        schema="seed_set_id string, node_id string",
+    )
+    ranks = graph.multi_seed_ppr(
+        _kg_entity_edges(spark, sf),
+        ssdf,
+        damping=0.85,
+        iters=20,
+        src="subj",
+        dst="obj",
+    )
+    refdf = spark.createDataFrame(refpd)
+    return ranks.join(refdf, ["seed_set_id", "node_id"], "outer").select(
+        "seed_set_id",
+        "node_id",
+        F.coalesce(
+            F.abs(F.col("rank") - F.col("ref_rank")) < 1e-6, F.lit(False)
+        ).alias("within_tol"),
+    )
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries of the exported dict. QUERIES therefore holds EXACTLY the 50
 # operators that need driver hard-signal rows (every operator family has
@@ -1261,7 +1315,6 @@ QUERIES = {
     "graph_khop": q_graph_khop,
     # -- relational operator families (SURVEY §2.2-2.8)
     "a1_pricing_summary": q_pricing_summary,
-    "a4_event_histogram": q_event_histogram,
     "a5_partition_audit": q_partition_audit,
     "a7_running_revenue": q_running_revenue,
     "a8_null_audit": q_null_audit,
@@ -1287,21 +1340,22 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_near_dup": q_dedup_near_dup,
     "kg_pagerank": q_kg_pagerank,
-    "dedup_embedding_cosine": q_dedup_embedding,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_ivf": q_ann_ivf,
-    "text_token_stats": q_text_stats,
     "kg_ppr": q_kg_ppr,
     "text_quality_score": q_quality,
     "mm_decode_features": q_media_features,
-    "mm_frame_sample": q_media_frames,
     # -- round-3 operators, in-window since round 4
     "dedup_chunk_spans": q_chunk_dup_spans,
     "x_decontaminate_ngrams": q_decontaminate_ngrams,
     "text_repetition_ratio": q_repetition_ratio,
     "kg_fuzzy_link": q_fuzzy_link,
     "kg_triple_support": q_triple_support,
+    "kg_comention_edges": q_comention_edges,
+    "kg_comention_audit": q_comention_audit,
+    "kg_conflicts": q_kg_conflicts,
+    "kg_negative_samples": q_negative_samples,
     "x_curate_corpus": q_curate_corpus,
 }
 
@@ -1335,9 +1389,6 @@ EXTRA_QUERIES = {
     "x_pack_chunks": q_pack_chunks,
     "a_exact_quantiles": q_exact_quantiles,
     "x_redact_pii": q_redact_pii,
-    "kg_comention_edges": q_comention_edges,
-    "kg_negative_samples": q_negative_samples,
-    "kg_conflicts": q_kg_conflicts,
     # -- r5 rotation: multi-round-green siblings retired to make window
     #    seats for the never-driver-checked cells (kg_pagerank, kg_ppr,
     #    kg_current_beliefs). Arrow extraction stays in-window via
@@ -1347,7 +1398,18 @@ EXTRA_QUERIES = {
     "kg_triples_arrow": q_kg_triples_arrow,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_lang_id": q_lang_id,
-    "kg_comention_audit": q_comention_audit,
+    # -- r6 rotation: four more multi-round-green siblings retired so
+    #    the never-driver-checked KG cells (comention edges/audit,
+    #    conflicts, negative samples) get driver rows. Agg family
+    #    keeps a1/a5/a7/a8/rollup; text keeps quality_score +
+    #    repetition_ratio; embeddings keep near_pairs/ann/dedup
+    #    seats; mm keeps decode_features.
+    "a4_event_histogram": q_event_histogram,
+    "text_token_stats": q_text_stats,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "mm_frame_sample": q_media_frames,
+    # -- r6 new operator: one-pass multi-seed PPR
+    "kg_ppr_multiseed": q_kg_ppr_multiseed,
 }
 
 # --------------------------------------------------------------------------
@@ -2215,5 +2277,9 @@ ORACLE_SQL = {
     "kg_ppr": f"""
         SELECT node_id, TRUE AS within_tol
         FROM read_parquet('{_export_path("kg_ppr_golden")}')
+    """,
+    "kg_ppr_multiseed": f"""
+        SELECT seed_set_id, node_id, TRUE AS within_tol
+        FROM read_parquet('{_export_path("kg_ppr_multiseed_golden")}')
     """,
 }

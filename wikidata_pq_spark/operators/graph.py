@@ -414,6 +414,134 @@ def personalized_pagerank(
     )
 
 
+def multi_seed_ppr(
+    edges: DataFrame,
+    seed_sets: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    set_col: str = "seed_set_id",
+) -> DataFrame:
+    """Personalized PageRank for MANY seed sets in one pass:
+    (seed_set_id, node_id, rank) -- a production relevance pipeline
+    scores hundreds of query sets, and running :func:`pagerank` once
+    per set repeats the edge scan, the degree aggregate, and the
+    per-iteration edge join S times (r6, VERDICT item 5).
+
+    ``seed_sets`` is (seed_set_id, node_id). The rank frame carries the
+    ``seed_set_id`` dimension -- O(S x nodes) rows -- so each power
+    iteration is still ONE edge equi-join on the source node (every
+    edge matches its S rank rows inside the join; the edge table itself
+    is scanned once per iteration, not once per set) plus one
+    (set, node) aggregate. Per-set restart vectors follow the
+    single-set contract exactly: uniform over the seeds PRESENT in the
+    graph, zero elsewhere, and a set with no graph overlap raises
+    (an all-zero "ranking" is a bug, not a result).
+
+    The per-set dangling mass is a groupBy(seed_set_id) aggregate --
+    S rows of metadata, broadcast back into the rank update -- instead
+    of the single-set driver scalar, so no per-iteration collect grows
+    with S. Update arithmetic multiplies (damping x dangling) before
+    the restart weight, the same association order as the single-set
+    formula, so per-set results match ``personalized_pagerank`` to
+    float-summation noise (equivalence-tested at 8 dp).
+
+    Scale shape per iteration: rank frame hash-partitioned by node for
+    the edge join (set id rides along), then one shuffle to
+    (set, node). Dangling frame is O(S); the seed-size frame is O(S);
+    both broadcast. Lineage truncated per iteration, the
+    connected-components discipline.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node_id"))
+        .union(e.select(F.col("_d").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("multi_seed_ppr: empty edge frame (no nodes)")
+    ss = seed_sets.select(F.col(set_col).alias("_set"), "node_id").distinct()
+    present = ss.join(nodes, "node_id", "semi").localCheckpoint(eager=False)
+    sizes = present.groupBy("_set").agg(F.count(F.lit(1)).alias("_ns"))
+    # bounded collects: S rows of set metadata, not data
+    in_sets = {r[0] for r in ss.select("_set").distinct().collect()}
+    if not in_sets:
+        raise ValueError("multi_seed_ppr: empty seed_sets frame")
+    ok_sets = {r[0] for r in sizes.select("_set").collect()}
+    missing = sorted(in_sets - ok_sets)
+    if missing:
+        raise ValueError(
+            "multi_seed_ppr: seed set(s) with no node in the graph: "
+            f"{missing[:5]}"
+        )
+    # restart matrix: (set, node) with 1/|seeds_in_graph(set)| on seeds,
+    # 0 elsewhere. nodes x sets is the rank frame's own cardinality, so
+    # building it via a broadcast cross join adds no new scale class.
+    noder = (
+        nodes.crossJoin(F.broadcast(sizes))
+        .join(
+            present.withColumn("_seed", F.lit(True)), ["_set", "node_id"], "left"
+        )
+        .select(
+            "_set",
+            "node_id",
+            F.when(F.col("_seed"), F.lit(1.0) / F.col("_ns"))
+            .otherwise(F.lit(0.0))
+            .alias("_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out_deg = (
+        e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=False)
+    )
+    ranks = noder.select("_set", "node_id", F.col("_r").alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg, ranks.node_id == out_deg._s, "left"
+        ).localCheckpoint(eager=False)
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .groupBy("_set")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .select(
+                "_set",
+                F.col("node_id").alias("_s"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .join(e, "_s")
+            .groupBy("_set", F.col("_d").alias("node_id"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            noder.join(contribs, ["_set", "node_id"], "left")
+            .join(F.broadcast(dangling), "_set", "left")
+            .select(
+                "_set",
+                "node_id",
+                (
+                    F.lit(1.0 - damping) * F.col("_r")
+                    + (F.lit(damping) * F.coalesce(F.col("_dm"), F.lit(0.0)))
+                    * F.col("_r")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("_set").alias(set_col), "node_id", F.round("rank", 8).alias("rank")
+    )
+
+
 def current_beliefs(
     triples: DataFrame, order_cols: tuple = ("ts", "conv_id", "turn_idx")
 ) -> DataFrame:
