@@ -329,3 +329,41 @@ def test_simhash_vectorized_matches_scalar_reference(spark):
 
     for i, txt in enumerate(texts):
         assert got[i] == scalar_sim(txt), i
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """max_bucket_size (r6): a boilerplate family larger than the cap
+    is excluded from pairwise candidate generation (it belongs to the
+    exact-dup operator) and surfaces in the opt-in audit frame; the
+    rest of the corpus pairs normally."""
+    import pandas as pd
+
+    fam = [f"the same viral boilerplate text everywhere copy {i%2}" for i in range(30)]
+    # 30 docs, two exact-texts -> one near-dup family in shared buckets
+    other = [
+        "completely different first document about spark shuffles",
+        "completely different first document about spark shuffles!",
+        "an unrelated third text with its own vocabulary entirely",
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(fam) + len(other)),
+        "text": fam + other,
+    })
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_candidates(df, max_bucket_size=10_000)
+    pairs_all = {tuple(r) for r in uncapped.collect()}
+    capped, audit = dedup.minhash_lsh_candidates(
+        df, max_bucket_size=10, return_audit=True
+    )
+    pairs_capped = {tuple(r) for r in capped.collect()}
+    audit_pd = audit.toPandas()
+    # the 30-doc family exceeded the cap in at least one band bucket
+    assert (audit_pd["n_members"] > 10).all() and len(audit_pd) > 0
+    # family pairs are gone; any surviving pairs involve only non-family
+    # docs (the near-identical `other` pair may still band together)
+    fam_ids = set(range(len(fam)))
+    assert all(
+        a not in fam_ids and b not in fam_ids for a, b in pairs_capped
+    )
+    assert pairs_capped <= pairs_all

@@ -166,13 +166,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the frame has fewer partitions than
+    the cluster has slots (r6): a small parquet scan (one file under
+    maxPartitionBytes) arrives as ONE partition, which serializes every
+    pre-shuffle stage -- the minhash HOF folds and the simhash pandas
+    UDF were measured running on a single core over a 50k-doc corpus
+    while 31 slots idled. At real scale the scan already has hundreds
+    of partitions and this is a no-op (getNumPartitions is plan
+    metadata, not a job). Row-level operators only: repartitioning is
+    value-neutral for anything keyed per document."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokenized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, toks): whitespace token arrays -- the shared upstream of
     every token-derived dedup stage (shingles for MinHash, distinct
     sets for the exact-Jaccard verify). Compositions that need both
     (near_dup_pairs) compute this ONCE and persist it, so the corpus
     text is scanned and split a single time."""
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("toks")
     )
 
@@ -219,12 +235,29 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_df: DataFrame | None = None,
-) -> DataFrame:
+    max_bucket_size: int = 10_000,
+    return_audit: bool = False,
+):
     """LSH banding candidate pairs (a_id < b_id, with band evidence).
 
     shingle -> minhash -> split signature into bands -> groupBy
     (band_idx, band hash) -> self-join within bucket. The scale path:
     pair generation is linear in bucket sizes, never corpus-quadratic.
+
+    ``max_bucket_size`` (r6) bounds the within-bucket quadratic: a
+    viral boilerplate text duplicated 100k times puts its whole family
+    into ONE bucket per band, and 100k^2/2 pairs would sink any
+    cluster regardless of partitioning. Buckets above the cap are
+    excluded from pairing (their members are near-identical by
+    construction -- the exact-dup hash-groupBy is the right operator
+    for them, not pairwise Jaccard) and surface in the opt-in audit
+    frame (band_idx, band_key, n_members) when ``return_audit=True``
+    -- the same dropped-whole-plus-audit design as
+    ``graph.comention_edges``. The gate is one partial aggregate over
+    the banded frame (the oversized-bucket set it yields is tiny --
+    at most |corpus|/cap keys per band -- so the anti-join against it
+    stays broadcast-sized; a windowed count was measured ~1.5x slower
+    at 10x because it adds a full sort to the bucket shuffle).
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(
@@ -247,16 +280,29 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_key"),
     )
-    a = bands.select(
+    # the banded frame feeds the size aggregate AND both self-join
+    # legs: truncate lineage once so the minhash HOF chain isn't
+    # re-evaluated per consumer (the comention_edges discipline)
+    bands = bands.localCheckpoint(eager=False)
+    audit = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+    kept = bands.join(
+        audit.select("band_idx", "band_key"), ["band_idx", "band_key"], "left_anti"
+    )
+    a = kept.select(
         F.col("id").alias("a_id"), "band_idx", "band_key"
     )
-    b = bands.select(F.col("id").alias("b_id"), "band_idx", "band_key")
-    return (
+    b = kept.select(F.col("id").alias("b_id"), "band_idx", "band_key")
+    pairs = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
+    return (pairs, audit) if return_audit else pairs
 
 
 def _token_sets(
@@ -402,11 +448,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             nonempty = lens > 0
             if nonempty.any():
                 flat = np.concatenate([np.asarray(d, dtype=object) for d in docs if d])
-                # novel-vocabulary hashing: np.unique collapses the
-                # token instances to the batch vocabulary; md5 runs
-                # once per NOVEL token, then a vectorized gather maps
-                # hashes back onto instances
-                vocab, inv = np.unique(flat, return_inverse=True)
+                # novel-vocabulary hashing: pd.factorize collapses the
+                # token instances to the batch vocabulary via a C-level
+                # hash table -- NOT np.unique, whose sort of millions
+                # of python strings was measured 4x SLOWER than the r5
+                # scalar loop at 10x scale. md5 runs once per NOVEL
+                # token, then a vectorized gather maps hashes back
+                # onto instances.
+                inv, vocab = pd.factorize(flat)
                 if len(hcache) > 1_000_000:
                     hcache.clear()
                 vhash = np.fromiter(
@@ -470,7 +519,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 {"doc_id": ids, "simhash": sigs.view(np.int64)}
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batch, SIMHASH_SCHEMA)
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        batch, SIMHASH_SCHEMA
+    )
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
