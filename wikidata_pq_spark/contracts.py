@@ -1321,7 +1321,6 @@ QUERIES = {
     "w1_topk_per_group": q_topk_per_group,
     "j1_rowid_token_join": q_rowid_token_join,
     "j5_presence_flags": q_presence_flags,
-    "j_semi_exists": q_semi_join,
     "u1_diagonal_concat": q_diagonal_concat,
     "p6_regex_extract": q_regex_extract,
     "n8_json_map_explode": q_json_map_explode,
@@ -1329,9 +1328,7 @@ QUERIES = {
     "q5_region_revenue": q_region_revenue,
     "q17_small_quantity": q17_small_quantity,
     "j_salted_hot_keys": q_salted_join,
-    "rollup_revenue": q_rollup_revenue,
     "asof_last_click": q_asof_last_click,
-    "range_join_within": q_range_join_pairs,
     "sessionize_events": q_sessionize,
     "p7_list_len_predicate": q_list_len_predicate,
     # -- training-data-pipeline operators
@@ -1356,6 +1353,9 @@ QUERIES = {
     "kg_comention_audit": q_comention_audit,
     "kg_conflicts": q_kg_conflicts,
     "kg_negative_samples": q_negative_samples,
+    "a_exact_quantiles": q_exact_quantiles,
+    "x_pack_chunks": q_pack_chunks,
+    "x_redact_pii": q_redact_pii,
     "x_curate_corpus": q_curate_corpus,
 }
 
@@ -1386,9 +1386,6 @@ EXTRA_QUERIES = {
     "mm_resize_plan": q_media_resize,
     # -- r4 additions (born outside the window; full local-gate + pytest
     #    coverage, window seats stay with the one-per-family picks)
-    "x_pack_chunks": q_pack_chunks,
-    "a_exact_quantiles": q_exact_quantiles,
-    "x_redact_pii": q_redact_pii,
     # -- r5 rotation: multi-round-green siblings retired to make window
     #    seats for the never-driver-checked cells (kg_pagerank, kg_ppr,
     #    kg_current_beliefs). Arrow extraction stays in-window via
@@ -1408,6 +1405,13 @@ EXTRA_QUERIES = {
     "text_token_stats": q_text_stats,
     "dedup_embedding_cosine": q_dedup_embedding,
     "mm_frame_sample": q_media_frames,
+    # -- r6 second rotation: rotation COMPLETE -- every contract cell has
+    #    now had a driver row. Agg keeps a1/a5/a7/a8 (+ exact-quantiles
+    #    in-window); temporal keeps asof + sessionize; joins keep
+    #    j1/j5/j_salted (anti/semi siblings both EXTRA).
+    "rollup_revenue": q_rollup_revenue,
+    "range_join_within": q_range_join_pairs,
+    "j_semi_exists": q_semi_join,
     # -- r6 new operator: one-pass multi-seed PPR
     "kg_ppr_multiseed": q_kg_ppr_multiseed,
 }
