@@ -564,10 +564,22 @@ def test_compact_triple_support_then_stream_equals_batch(spark, tmp_path):
     assert (got["first_turn"] == full["first_turn"]).all()
     assert (got["n_convs_est"] == full["n_convs"]).all()
 
-    # at-least-once replay of a COMPACTED epoch: dir reappears, the
-    # manifest ignores it (rows already in generation -1), and the
-    # next compaction both absorbs epoch 3 and GCs the replayed dir
-    inc.merge_triple_support(dfs[1], out, epoch_id=1, n_buckets=4)
+    # a write at or below the compaction watermark is REFUSED loudly
+    # (r6 guard): compaction runs only after a completed drain, so such
+    # an epoch id means a reset/foreign streaming checkpoint -- its
+    # write would be invisible to reads and GC'd (silent loss). Even if
+    # it somehow lands on disk (a pre-guard writer), the manifest
+    # ignores it and the next compaction GCs it.
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="compacted_through"):
+        inc.merge_triple_support(dfs[1], out, epoch_id=1, n_buckets=4)
+    import os as _os
+    import shutil as _sh
+
+    _sh.copytree(
+        _os.path.join(out, "epoch=3"), _os.path.join(out, "epoch=1")
+    )  # simulate a pre-guard replayed dir
     assert set(inc._epochs_on_disk(out)) == {-1, 1, 3}
     assert inc.live_epochs(out) == [-1, 3]
     again = inc.read_triple_support(spark, out).toPandas().set_index(
@@ -619,3 +631,29 @@ def test_compact_current_beliefs_then_stream_equals_batch(spark, tmp_path):
     assert (got["obj"] == full["obj"]).all()
     assert (got["last_ts"] == full["last_ts"]).all()
     assert (got["last_conv_id"] == full["last_conv_id"]).all()
+
+
+def test_merge_refuses_epoch_below_compaction_watermark(spark, tmp_path):
+    """Checkpoint-reset guard (r6): after a compaction, a merge whose
+    epoch id restarted from 0 (deleted streaming checkpoint, same
+    store) must raise -- its write would be invisible to reads and
+    GC'd by the next compaction (silent loss)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    inc.compact_triple_support(spark, out, n_buckets=2)
+    with _pt.raises(ValueError, match="compacted_through"):
+        inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    # the NEXT genuine epoch (above the watermark) still merges
+    inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 3

@@ -175,7 +175,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     while 31 slots idled. At real scale the scan already has hundreds
     of partitions and this is a no-op (getNumPartitions is plan
     metadata, not a job). Row-level operators only: repartitioning is
-    value-neutral for anything keyed per document."""
+    value-neutral for anything keyed per document. Streaming frames
+    pass through untouched (.rdd is batch-only; micro-batch
+    parallelism is the source's concern)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

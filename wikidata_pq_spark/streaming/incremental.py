@@ -184,6 +184,25 @@ def windowed_event_counts(
     )
 
 
+def _guard_epoch_vs_manifest(out_dir: str, epoch_id: int) -> None:
+    """Refuse to write an epoch the compaction manifest would make
+    invisible (r6): epoch ids come from the STREAMING checkpoint and
+    restart at 0 if that checkpoint is deleted while the store keeps
+    its manifest -- the write would land at or below
+    ``compacted_through``, be pruned from every read, and be GC'd by
+    the next compaction. Silent data loss; fail loudly instead."""
+    m = _read_manifest(out_dir)
+    if m is not None and int(epoch_id) <= m["compacted_through"]:
+        raise ValueError(
+            f"epoch {epoch_id} <= compacted_through "
+            f"{m['compacted_through']}: the store at {out_dir} was "
+            "compacted under a streaming checkpoint this batch did not "
+            "come from (checkpoint reset?). Writing would be silently "
+            "invisible to reads. Use a fresh out_dir or restore the "
+            "original checkpoint."
+        )
+
+
 def merge_triple_support(
     batch: DataFrame, out_dir: str, epoch_id: int, n_buckets: int = 16
 ) -> None:
@@ -209,6 +228,7 @@ def merge_triple_support(
     """
     from ..sources import tableio
 
+    _guard_epoch_vs_manifest(out_dir, epoch_id)
     agg = (
         batch.groupBy("subj", "pred", "obj")
         .agg(
@@ -324,6 +344,7 @@ def merge_current_beliefs(
     """
     from ..sources import tableio
 
+    _guard_epoch_vs_manifest(out_dir, epoch_id)
     agg = (
         batch.groupBy("subj", "pred")
         .agg(_best_struct(order_cols))
@@ -506,6 +527,16 @@ def _compact(
     if len(live) <= 1:
         return {"compacted": 0, "live": live}
     gen = (min(live + [0])) - 1  # next free negative id
+    # a CRASHED previous attempt may have left a partial epoch=gen dir
+    # (same id: gen derives from the unchanged live set). Dynamic
+    # overwrite would replace only the buckets this attempt writes --
+    # if n_buckets changed between attempts, stale foreign buckets
+    # would survive inside the committed generation. Remove the
+    # orphan wholesale first; it is not in any manifest by
+    # construction, so the delete is invisible to readers.
+    orphan = os.path.join(out_dir, f"epoch={gen}")
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
     raw = spark.read.parquet(out_dir).filter(F.col("epoch").isin(live))
     merged = (
         reducer(raw)
