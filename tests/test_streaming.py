@@ -657,3 +657,61 @@ def test_merge_refuses_epoch_below_compaction_watermark(spark, tmp_path):
     inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
     got = inc.read_triple_support(spark, out).toPandas()
     assert got["n_support"].iloc[0] == 3
+
+
+def test_uncommitted_generation_invisible_and_collected(spark, tmp_path):
+    """First-compaction crash window (r6 review): a negative epoch dir
+    with NO manifest is the output of a compaction that died between
+    its parquet job and the manifest rename. It must be invisible to
+    reads (counting it live would double every merged row) and be
+    garbage-collected by the next compaction, which then produces the
+    correct store."""
+    import os
+
+    import pandas as pd
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d0 = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    d1 = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c2", 2)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d0, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d1, out, epoch_id=1, n_buckets=2)
+
+    # simulate the crashed first compaction: the merged generation is
+    # fully on disk, the manifest rename never happened
+    crashed = str(tmp_path / "crashed")
+    inc.merge_triple_support(d0, crashed, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d1, crashed, epoch_id=1, n_buckets=2)
+    inc.compact_triple_support(spark, crashed, n_buckets=2)
+    import shutil
+
+    shutil.copytree(
+        os.path.join(crashed, "epoch=-1"), os.path.join(out, "epoch=-1")
+    )
+    assert os.path.isdir(os.path.join(out, "epoch=-1"))
+    assert inc.live_epochs(out) == [0, 1]  # uncommitted gen NOT live
+
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 2  # would be 4 if double-counted
+
+    summary = inc.compact_triple_support(spark, out, n_buckets=2)
+    # the retry reuses gen -1: the orphan was deleted pre-write
+    assert summary["generation"] == -1 and -1 in summary["removed_epochs"]
+    assert inc._epochs_on_disk(out) == [-1]
+    final = inc.read_triple_support(spark, out).toPandas()
+    assert final["n_support"].iloc[0] == 2
+
+    # no-op path still GCs: plant a stale retired dir (content
+    # irrelevant -- it is below the watermark, never read) and re-compact
+    shutil.copytree(
+        os.path.join(crashed, "epoch=-1"), os.path.join(out, "epoch=0")
+    )
+    s2 = inc.compact_triple_support(spark, out, n_buckets=2)
+    assert s2["compacted"] == 0 and 0 in s2["removed_epochs"]
+    assert inc._epochs_on_disk(out) == [-1]

@@ -112,9 +112,12 @@ def main() -> None:
         # spread measured for an operator whose warm cost is ~2s).
         # min-of-reps is the repo-wide estimator (bench.py); all rep
         # walls are recorded so nothing hides.
-        before = _shuffle_snapshot(spark)
         walls = []
         for _ in range(reps):
+            # snapshot per rep: shuffle metrics describe ONE run (the
+            # last), not a rep-count-dependent sum (r6 review -- a
+            # summed value read as a 2x shuffle regression)
+            before = _shuffle_snapshot(spark)
             t0 = time.time()
             rows = fn()
             walls.append(round(time.time() - t0, 1))

@@ -133,9 +133,8 @@ def _aqe_skew_evidence(spark, sql_ids_before: set) -> dict:
                     if name == "partition data size" and "total" in val:
                         tot = val.split("\n")[-1].split(" ")[0:2]
                         try:
-                            mb = float(tot[0]) * (
-                                1.0 if "MiB" in tot[1] else 0.001
-                            )
+                            unit = {"B": 1e-6, "KiB": 1e-3, "MiB": 1.0, "GiB": 1024.0}
+                            mb = float(tot[0]) * unit.get(tot[1], 0.0)
                             if mb > biggest:
                                 biggest = mb
                                 out["largest_shuffle_read"] = val.split("\n")[-1]

@@ -173,15 +173,30 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     pre-shuffle stage -- the minhash HOF folds and the simhash pandas
     UDF were measured running on a single core over a 50k-doc corpus
     while 31 slots idled. At real scale the scan already has hundreds
-    of partitions and this is a no-op (getNumPartitions is plan
-    metadata, not a job). Row-level operators only: repartitioning is
-    value-neutral for anything keyed per document. Streaming frames
-    pass through untouched (.rdd is batch-only; micro-batch
-    parallelism is the source's concern)."""
+    of partitions and this is a no-op. Row-level operators only:
+    repartitioning is value-neutral for anything keyed per document.
+    Streaming frames pass through untouched (.rdd is batch-only;
+    micro-batch parallelism is the source's concern).
+
+    The probe runs with AQE disabled (r6 review): under AQE,
+    ``df.rdd`` finalizes the adaptive plan, which MATERIALIZES every
+    upstream shuffle stage as real jobs that the later query cannot
+    reuse. Without AQE the RDD conversion is lazy -- partition counts
+    come from file splits / the static shuffle-partition number, jobs
+    run zero times, and that static count is exactly the right signal
+    here (a frame downstream of any exchange already has
+    shuffle.partitions-grade parallelism)."""
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
+    if n_parts < target:
         return df.repartition(target)
     return df
 
@@ -252,10 +267,13 @@ def minhash_lsh_candidates(
     viral boilerplate text duplicated 100k times puts its whole family
     into ONE bucket per band, and 100k^2/2 pairs would sink any
     cluster regardless of partitioning. Buckets above the cap are
-    excluded from pairing (their members are near-identical by
-    construction -- the exact-dup hash-groupBy is the right operator
-    for them, not pairwise Jaccard) and surface in the opt-in audit
-    frame (band_idx, band_key, n_members) when ``return_audit=True``
+    excluded from pairing and surface in the opt-in audit frame
+    (band_idx, band_key, n_members) when ``return_audit=True``;
+    an audited family is REAL near-dup signal the caller must handle
+    out-of-band (exact-dup groups catch its verbatim copies; a
+    representative-doc pass covers cross-variant members -- pairwise
+    Jaccard over 100k near-identical docs is the one thing that can
+    never be the answer)
     -- the same dropped-whole-plus-audit design as
     ``graph.comention_edges``. The gate is one partial aggregate over
     the banded frame (the oversized-bucket set it yields is tiny --
@@ -371,7 +389,9 @@ def near_dup_pairs(
     n_bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
+    max_bucket_size: int = 10_000,
+    return_audit: bool = False,
+):
     """THE headline near-dup operator: MinHash-LSH candidates -> exact
     Jaccard verify (a_id < b_id, jaccard >= threshold).
 
@@ -387,6 +407,14 @@ def near_dup_pairs(
     legs of the verify join -- without it the text is scanned and
     re-split three times. MEMORY_AND_DISK so Spark can evict under
     pressure (the blocks are droppable, lineage recomputes).
+
+    ``max_bucket_size`` / ``return_audit`` pass through to
+    :func:`minhash_lsh_candidates` (r6 review): a family larger than
+    the cap is excluded from candidate generation, so the HEADLINE
+    composition must be able to surface (and tune) that recall
+    boundary -- pass ``return_audit=True`` to also get the
+    oversized-bucket audit frame, and route audited families to the
+    exact-dup / representative-doc path instead of pairwise Jaccard.
     """
     from pyspark import StorageLevel
 
@@ -411,12 +439,16 @@ def near_dup_pairs(
     _LAST_TOKEN_FRAME["app"] = app
     cands = minhash_lsh_candidates(
         df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col,
-        id_col=id_col, tokens_df=tok,
+        id_col=id_col, tokens_df=tok, max_bucket_size=max_bucket_size,
+        return_audit=return_audit,
     )
-    return verify_jaccard_pairs(
+    if return_audit:
+        cands, audit = cands
+    pairs = verify_jaccard_pairs(
         df, cands, threshold=threshold, text_col=text_col, id_col=id_col,
         tokens_df=tok,
     )
+    return (pairs, audit) if return_audit else pairs
 
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"

@@ -222,9 +222,11 @@ def merge_triple_support(
 
     The read side (:func:`read_triple_support`) reduces the partials
     (sum / min / hll_union). At 10^12 turns the per-epoch write is
-    proportional to the batch; epoch compaction is table maintenance
-    (an Iceberg rewrite action at scale), deliberately not hand-rolled
-    over bare parquet where it cannot be atomic.
+    proportional to the batch; when the partial count grows, epoch
+    compaction (:func:`compact_triple_support`, r6) folds the live set
+    into one generation -- crash-safe by PROTOCOL over bare parquet
+    (negative generation ids + an atomic manifest rename as the commit
+    point; see the compaction section below).
     """
     from ..sources import tableio
 
@@ -482,25 +484,32 @@ def _epochs_on_disk(out_dir: str) -> list[int]:
 
 
 def live_epochs(out_dir: str) -> list[int]:
-    """The epoch partitions the read side must reduce: the manifest's
-    live set when a compaction has committed, every epoch dir on disk
-    otherwise."""
+    """The epoch partitions the read side must reduce.
+
+    A NEGATIVE epoch dir is live ONLY if the manifest names it: the
+    rename of ``_compaction.json`` is the commit point, so a negative
+    dir with no manifest (or one the manifest does not list) is by
+    construction the output of a compaction that crashed between its
+    parquet job and the rename -- counting it live would DOUBLE every
+    row it merged (r6 review finding), and the next compaction would
+    bake the duplication in permanently. Streaming epochs are >= 0 and
+    are live unless a manifest retired them."""
     m = _read_manifest(out_dir)
     if m is None:
-        return _epochs_on_disk(out_dir)
+        return [e for e in _epochs_on_disk(out_dir) if e >= 0]
     live = set(m["live"])
     # epochs that landed after the manifest was written are live too
     # (the manifest lists compaction SURVIVORS, not a frozen universe)
     for e in _epochs_on_disk(out_dir):
-        if e > m["compacted_through"]:
+        if e >= 0 and e > m["compacted_through"]:
             live.add(e)
     return sorted(live)
 
 
 def _apply_live_filter(raw: DataFrame, out_dir: str) -> DataFrame:
-    m = _read_manifest(out_dir)
-    if m is None:
-        return raw
+    # ALWAYS filter to the live set (partition pruning, not a scan):
+    # even with no manifest, an uncommitted negative generation from a
+    # crashed first compaction must be invisible to reads
     return raw.filter(F.col("epoch").isin(live_epochs(out_dir)))
 
 
@@ -524,19 +533,34 @@ def _compact(
 
     prev = _read_manifest(out_dir)
     live = live_epochs(out_dir)
+
+    def _gc_stale(keep: set) -> list:
+        """Delete every on-disk epoch dir outside ``keep``: uncommitted
+        negative generations (a compaction that crashed before its
+        manifest rename -- invisible to reads, but disk bloat and an id
+        collision for the next attempt; wholesale delete also covers a
+        stale-bucket layout from a different n_buckets), plus retired
+        non-negative epochs at or below the manifest watermark."""
+        cut = prev["compacted_through"] if prev is not None else -1
+        gone = []
+        for e in _epochs_on_disk(out_dir):
+            if e in keep:
+                continue
+            if e < 0 or e <= cut:
+                shutil.rmtree(
+                    os.path.join(out_dir, f"epoch={e}"), ignore_errors=True
+                )
+                gone.append(e)
+        return gone
+
     if len(live) <= 1:
-        return {"compacted": 0, "live": live}
+        # no reduction to do, but a crashed previous GC (or a crashed
+        # first compaction's uncommitted generation) may have left
+        # stale dirs -- re-collect them (r6 review finding: the early
+        # return used to skip this, stranding them forever)
+        return {"compacted": 0, "live": live, "removed_epochs": _gc_stale(set(live))}
     gen = (min(live + [0])) - 1  # next free negative id
-    # a CRASHED previous attempt may have left a partial epoch=gen dir
-    # (same id: gen derives from the unchanged live set). Dynamic
-    # overwrite would replace only the buckets this attempt writes --
-    # if n_buckets changed between attempts, stale foreign buckets
-    # would survive inside the committed generation. Remove the
-    # orphan wholesale first; it is not in any manifest by
-    # construction, so the delete is invisible to readers.
-    orphan = os.path.join(out_dir, f"epoch={gen}")
-    if os.path.isdir(orphan):
-        shutil.rmtree(orphan, ignore_errors=True)
+    pre_removed = _gc_stale(set(live))
     raw = spark.read.parquet(out_dir).filter(F.col("epoch").isin(live))
     merged = (
         reducer(raw)
@@ -562,7 +586,7 @@ def _compact(
     # post-commit GC: every on-disk epoch <= compacted_through that is
     # not the new generation is stale (includes replayed dirs and any
     # orphans from a previous crashed GC)
-    removed = []
+    removed = list(pre_removed)
     for e in _epochs_on_disk(out_dir):
         if e != gen and e <= compacted_through:
             shutil.rmtree(os.path.join(out_dir, f"epoch={e}"), ignore_errors=True)
