@@ -13,9 +13,21 @@ recording recall and wall seconds per point -- the curve a capacity
 planner trades off. Recall@10 = mean over queries of
 |approx_top10 ∩ exact_top10| / 10.
 
+Recall is STRUCTURE-dependent, so the sweep runs on THREE corpora and
+records all three curves in one artifact:
+
+- ``replicated10x``: the sf0.1 embeddings x10 (each vector's true
+  top-10 is dominated by its 9 near-identical replicas, which share
+  cells/buckets -- the near-dup-retrieval regime);
+- ``random``: the raw sf0.01 isotropic-gaussian table (cosine
+  neighbors spread across ALL cells; no coarse quantizer can do well
+  here -- the honest lower bound);
+- ``clustered``: 16 well-separated directions + small noise (IVF's
+  operating assumption; the regime the pytest floor pins).
+
 Prints one JSON line; pass an output path to also write it. The pytest
 floor (tests/test_similarity_textstats.py::test_ivf_recall_floor) pins
-IVF n_probe=4 recall >= 0.9 on the deterministic sf0.01 corpus so a
+IVF n_probe=4 recall >= 0.9 on the deterministic clustered corpus so a
 quantizer regression fails loudly, not silently.
 
 Usage: python tools/ann_recall.py [out.json]
@@ -48,33 +60,13 @@ def recall_at_k(approx_pd, gt: dict) -> float:
     return round(hits / total, 4)
 
 
-def main() -> None:
-    spark = get_spark(
-        app_name="ann_recall",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
+def sweep(spark, emb, n_cells: int, tag: str) -> dict:
     from wikidata_pq_spark.operators import similarity
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
-    embs10 = (
-        embs.crossJoin(reps)
-        .select(
-            (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: F.when(i == 0, x + F.col("rep") * F.lit(0.001)).otherwise(
-                    x
-                ),
-            ).alias("embedding"),
-        )
-        .localCheckpoint()  # one materialization feeds every sweep point
-    )
-    n_vecs = embs10.count()
-
+    emb = emb.localCheckpoint()  # one materialization feeds every point
+    n_vecs = emb.count()
     t0 = time.time()
-    gt_pd = similarity.brute_force_topk(embs10, n_queries=N_QUERIES, k=K).toPandas()
+    gt_pd = similarity.brute_force_topk(emb, n_queries=N_QUERIES, k=K).toPandas()
     gt_sec = round(time.time() - t0, 1)
     gt = {q: set(g["neighbor_id"]) for q, g in gt_pd.groupby("query_id")}
 
@@ -82,7 +74,8 @@ def main() -> None:
     for n_probe in (1, 2, 4, 8):
         t0 = time.time()
         approx = similarity.ivf_topk(
-            embs10, n_queries=N_QUERIES, k=K, n_cells=64, n_probe=n_probe
+            emb, n_queries=N_QUERIES, k=K, n_cells=n_cells, n_probe=n_probe,
+            sample_rows=2048,
         ).toPandas()
         curve["ivf"].append(
             {
@@ -91,11 +84,11 @@ def main() -> None:
                 "wall_sec": round(time.time() - t0, 1),
             }
         )
-        print("--", curve["ivf"][-1], file=sys.stderr)
+        print(f"-- {tag}", curve["ivf"][-1], file=sys.stderr)
     for n_planes in (4, 8, 16):
         t0 = time.time()
         approx = similarity.lsh_topk(
-            embs10, n_queries=N_QUERIES, k=K, n_planes=n_planes
+            emb, n_queries=N_QUERIES, k=K, n_planes=n_planes
         ).toPandas()
         curve["lsh"].append(
             {
@@ -104,15 +97,56 @@ def main() -> None:
                 "wall_sec": round(time.time() - t0, 1),
             }
         )
-        print("--", curve["lsh"][-1], file=sys.stderr)
-
-    out = {
-        "metric": "ann_recall_curve",
+        print(f"-- {tag}", curve["lsh"][-1], file=sys.stderr)
+    return {
         "n_vecs": n_vecs,
-        "n_queries": N_QUERIES,
-        "k": K,
+        "n_cells": n_cells,
         "bruteforce_groundtruth_sec": gt_sec,
         "curve": curve,
+    }
+
+
+def main() -> None:
+    import numpy as np
+    import pandas as pd
+
+    spark = get_spark(
+        app_name="ann_recall",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    embs10 = embs.crossJoin(reps).select(
+        (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.col("rep") * F.lit(0.001)).otherwise(x),
+        ).alias("embedding"),
+    )
+    random_small = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    rng = np.random.default_rng(123)
+    centers = rng.standard_normal((16, 64)) * 4.0
+    cvecs = centers[np.arange(2048) % 16] + rng.standard_normal((2048, 64)) * 0.3
+    clustered = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(2048), "embedding": [v.tolist() for v in cvecs]}
+        ),
+        schema="vec_id long, embedding array<double>",
+    )
+
+    corpora = {
+        "replicated10x": sweep(spark, embs10, n_cells=64, tag="replicated10x"),
+        "random": sweep(spark, random_small, n_cells=16, tag="random"),
+        "clustered": sweep(spark, clustered, n_cells=16, tag="clustered"),
+    }
+    out = {
+        "metric": "ann_recall_curve",
+        "n_queries": N_QUERIES,
+        "k": K,
+        "corpora": corpora,
     }
     spark.stop()
     line = json.dumps(out)
