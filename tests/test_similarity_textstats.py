@@ -501,16 +501,12 @@ def test_ivf_recall_floor(spark):
     coarse quantizer can reach 0.9 at quarter-probe -- measured 0.56
     there, documented in tools/ann_recall.py's curve. A floor on
     unclusterable data would pin noise, not the operator."""
-    rng = np.random.default_rng(123)
-    centers = rng.standard_normal((16, 64)) * 4.0
-    vecs = (
-        centers[np.arange(512) % 16]
-        + rng.standard_normal((512, 64)) * 0.3
+    from wikidata_pq_spark import datagen
+
+    emb = spark.createDataFrame(
+        datagen.gen_clustered_embeddings(n=512),
+        schema="vec_id long, embedding array<double>",
     )
-    pdf = pd.DataFrame(
-        {"vec_id": range(512), "embedding": [v.tolist() for v in vecs]}
-    )
-    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
     gt = (
         similarity.brute_force_topk(emb, n_queries=50, k=10)
         .toPandas().groupby("query_id")["neighbor_id"].apply(set)

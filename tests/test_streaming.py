@@ -715,3 +715,32 @@ def test_uncommitted_generation_invisible_and_collected(spark, tmp_path):
     s2 = inc.compact_triple_support(spark, out, n_buckets=2)
     assert s2["compacted"] == 0 and 0 in s2["removed_epochs"]
     assert inc._epochs_on_disk(out) == [-1]
+
+
+def test_lost_manifest_after_committed_compaction_fails_loudly(spark, tmp_path):
+    """Manifest-loss distinguishability (r6 second review): after a
+    COMMITTED compaction GC'd the retired epochs, the manifest is the
+    only witness the negative generation is real data. Losing it must
+    raise, not silently read empty (and must never let the next
+    compaction GC the only copy)."""
+    import os
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    inc.compact_triple_support(spark, out, n_buckets=2)
+    os.remove(os.path.join(out, "_compaction.json"))
+    with _pt.raises(RuntimeError, match="manifest was lost"):
+        inc.read_triple_support(spark, out).count()
+    with _pt.raises(RuntimeError, match="manifest was lost"):
+        inc.compact_triple_support(spark, out, n_buckets=2)
+    assert os.path.isdir(os.path.join(out, "epoch=-1"))  # data survives

@@ -3,15 +3,12 @@
 The IVF and LSH contract cells pin full-probe == brute-force
 EQUIVALENCE, which proves the machinery but says nothing about quality
 at realistic probe counts. This tool measures what a user of the index
-actually gets: recall@10 against the BLAS brute-force ground truth on
-the 10x embedding corpus (20k vectors), sweeping
-
-- ``ivf_topk``   over n_probe in {1, 2, 4, 8}   (n_cells=64), and
-- ``lsh_topk``   over n_planes in {4, 8, 16},
-
-recording recall and wall seconds per point -- the curve a capacity
-planner trades off. Recall@10 = mean over queries of
-|approx_top10 ∩ exact_top10| / 10.
+actually gets: recall@10 against the BLAS brute-force ground truth,
+sweeping ``ivf_topk`` over n_probe in {1, 2, 4, 8} and ``lsh_topk``
+over n_planes in {4, 8, 16} on each corpus (n_cells and corpus size
+per corpus, recorded in the artifact), with recall and wall seconds
+per point -- the curve a capacity planner trades off. Recall@10 =
+mean over queries of |approx_top10 ∩ exact_top10| / 10.
 
 Recall is STRUCTURE-dependent, so the sweep runs on THREE corpora and
 records all three curves in one artifact:
@@ -107,8 +104,6 @@ def sweep(spark, emb, n_cells: int, tag: str) -> dict:
 
 
 def main() -> None:
-    import numpy as np
-    import pandas as pd
 
     spark = get_spark(
         app_name="ann_recall",
@@ -127,13 +122,10 @@ def main() -> None:
     random_small = spark.read.parquet(
         "/root/testdata/sf0.01/embeddings.parquet"
     ).select("vec_id", "embedding")
-    rng = np.random.default_rng(123)
-    centers = rng.standard_normal((16, 64)) * 4.0
-    cvecs = centers[np.arange(2048) % 16] + rng.standard_normal((2048, 64)) * 0.3
+    from wikidata_pq_spark import datagen
+
     clustered = spark.createDataFrame(
-        pd.DataFrame(
-            {"vec_id": range(2048), "embedding": [v.tolist() for v in cvecs]}
-        ),
+        datagen.gen_clustered_embeddings(n=2048),
         schema="vec_id long, embedding array<double>",
     )
 

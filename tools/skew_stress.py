@@ -133,8 +133,19 @@ def _aqe_skew_evidence(spark, sql_ids_before: set) -> dict:
                     if name == "partition data size" and "total" in val:
                         tot = val.split("\n")[-1].split(" ")[0:2]
                         try:
-                            unit = {"B": 1e-6, "KiB": 1e-3, "MiB": 1.0, "GiB": 1024.0}
-                            mb = float(tot[0]) * unit.get(tot[1], 0.0)
+                            unit = {
+                                "B": 1e-6, "KiB": 1e-3, "MiB": 1.0,
+                                "GiB": 1024.0, "TiB": 1024.0**2,
+                                "PiB": 1024.0**3,
+                            }
+                            u = tot[1].strip(",)")
+                            if u not in unit:
+                                # unknown unit: record loudly, never 0
+                                out.setdefault("unparsed_sizes", []).append(
+                                    val.split("\n")[-1]
+                                )
+                                continue
+                            mb = float(tot[0]) * unit[u]
                             if mb > biggest:
                                 biggest = mb
                                 out["largest_shuffle_read"] = val.split("\n")[-1]

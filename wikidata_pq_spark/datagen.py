@@ -408,3 +408,22 @@ def gen_transcripts(
     if shuffle:
         pdf = pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
     return pdf
+
+
+def gen_clustered_embeddings(
+    n: int = 512, n_clusters: int = 16, dim: int = 64, seed: int = 123
+) -> pd.DataFrame:
+    """Deterministic CLUSTERED embedding corpus: ``n_clusters``
+    well-separated directions (scaled 4x) plus small isotropic noise
+    (0.3) -- IVF's operating assumption, where a correct coarse
+    quantizer recovers the clusters and recall at partial probe is
+    high. The single source of truth for both the pytest recall floor
+    (`test_ivf_recall_floor`) and the benchmarked recall curve
+    (`tools/ann_recall.py`), so the regression gate and the published
+    curve can never silently measure different corpora (r6 review)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    vecs = centers[np.arange(n) % n_clusters] + rng.standard_normal((n, dim)) * 0.3
+    return pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.tolist() for v in vecs]}
+    )

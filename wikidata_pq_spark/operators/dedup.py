@@ -38,6 +38,11 @@ MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b within int64 under ANSI mode
 # holds the single most-recent persisted token frame (see near_dup_pairs)
 _LAST_TOKEN_FRAME: dict = {}
 
+# serializes ensure_parallelism's session-global AQE toggle
+import threading as _threading
+
+_AQE_PROBE_LOCK = _threading.Lock()
+
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text digest.
@@ -190,12 +195,20 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
-    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        n_parts = df.rdd.getNumPartitions()
-    finally:
-        sess.conf.set("spark.sql.adaptive.enabled", prev)
+    # the AQE toggle is session-global: serialize probes so two
+    # concurrent calls cannot interleave get/set and restore "false"
+    # as the saved value (which would disable AQE for the session's
+    # remaining lifetime). A racing OTHER query can still start inside
+    # the ms-scale off-window and plan without AQE -- bounded, and the
+    # operators this guards are driver-sequential in every pipeline
+    # here; a fully per-thread conf does not exist in Spark.
+    with _AQE_PROBE_LOCK:
+        prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            n_parts = df.rdd.getNumPartitions()
+        finally:
+            sess.conf.set("spark.sql.adaptive.enabled", prev)
     if n_parts < target:
         return df.repartition(target)
     return df

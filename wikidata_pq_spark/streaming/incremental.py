@@ -496,7 +496,26 @@ def live_epochs(out_dir: str) -> list[int]:
     are live unless a manifest retired them."""
     m = _read_manifest(out_dir)
     if m is None:
-        return [e for e in _epochs_on_disk(out_dir) if e >= 0]
+        on_disk = _epochs_on_disk(out_dir)
+        live = [e for e in on_disk if e >= 0]
+        if not live and any(e < 0 for e in on_disk):
+            # negative generations but NO manifest and NO streaming
+            # epochs: after a COMMITTED compaction GC'd the retired
+            # epochs, the manifest is the only witness that the
+            # generation is real data -- losing it must not silently
+            # read empty (and the next compaction would GC the only
+            # copy). An uncommitted crash never looks like this: its
+            # pre-rename state keeps every live non-negative epoch on
+            # disk (GC is post-commit). Refuse to guess.
+            raise RuntimeError(
+                f"store at {out_dir} has compacted generation(s) "
+                f"{sorted(e for e in on_disk if e < 0)} but no "
+                "_compaction.json and no streaming epochs: the "
+                "manifest was lost AFTER a committed compaction. "
+                "Restore the manifest (live = the newest generation) "
+                "before reading or compacting."
+            )
+        return live
     live = set(m["live"])
     # epochs that landed after the manifest was written are live too
     # (the manifest lists compaction SURVIVORS, not a frozen universe)
