@@ -521,3 +521,38 @@ def test_ivf_recall_floor(spark):
     total = sum(len(gt[q]) for q in gt.index)
     recall = hits / total
     assert recall >= 0.9, f"IVF n_probe=4 recall@10 = {recall:.3f} < 0.9"
+
+
+def test_lsh_multiprobe_recall_and_full_probe_equivalence(emb):
+    """Multi-probe LSH (r6): probing more Hamming-adjacent buckets can
+    only ADD candidates (result at b bits is a superset-or-equal
+    ranking source of b-1), and probing ALL n_planes bits equals brute
+    force -- the same full-cover equivalence the IVF cell pins."""
+    df, _ = emb
+
+    def pairs(res):
+        return {
+            (q, n)
+            for q, n in zip(res["query_id"], res["neighbor_id"])
+        }
+
+    brute = similarity.brute_force_topk(df, n_queries=3, k=4).toPandas()
+    full = similarity.lsh_topk(
+        df, n_queries=3, k=4, n_planes=3, dim=8, n_probe_bits=3
+    ).toPandas()
+    assert full.sort_values(["query_id", "rank"]).values.tolist() == \
+        brute.sort_values(["query_id", "rank"]).values.tolist()
+
+    # candidate sets grow monotonically with probe bits
+    sizes = []
+    for b in (0, 1, 2, 3):
+        res = similarity.lsh_topk(
+            df, n_queries=3, k=50, n_planes=3, dim=8, n_probe_bits=b
+        ).toPandas()
+        sizes.append(len(res))
+    assert sizes == sorted(sizes)
+    # colinear pair always recalled even at 0 probes (same bucket)
+    res0 = similarity.lsh_topk(
+        df, n_queries=1, k=4, n_planes=3, dim=8, n_probe_bits=1
+    ).toPandas()
+    assert 1 in set(res0["neighbor_id"])

@@ -5,7 +5,7 @@ EQUIVALENCE, which proves the machinery but says nothing about quality
 at realistic probe counts. This tool measures what a user of the index
 actually gets: recall@10 against the BLAS brute-force ground truth,
 sweeping ``ivf_topk`` over n_probe in {1, 2, 4, 8} and ``lsh_topk``
-over n_planes in {4, 8, 16} on each corpus (n_cells and corpus size
+over (n_planes, n_probe_bits) points incl. multi-probe on each corpus (n_cells and corpus size
 per corpus, recorded in the artifact), with recall and wall seconds
 per point -- the curve a capacity planner trades off. Recall@10 =
 mean over queries of |approx_top10 ∩ exact_top10| / 10.
@@ -82,14 +82,18 @@ def sweep(spark, emb, n_cells: int, tag: str) -> dict:
             }
         )
         print(f"-- {tag}", curve["ivf"][-1], file=sys.stderr)
-    for n_planes in (4, 8, 16):
+    for n_planes, probe_bits in (
+        (4, 0), (8, 0), (16, 0), (8, 1), (8, 2), (16, 2),
+    ):
         t0 = time.time()
         approx = similarity.lsh_topk(
-            emb, n_queries=N_QUERIES, k=K, n_planes=n_planes
+            emb, n_queries=N_QUERIES, k=K, n_planes=n_planes,
+            n_probe_bits=probe_bits,
         ).toPandas()
         curve["lsh"].append(
             {
                 "n_planes": n_planes,
+                "n_probe_bits": probe_bits,
                 "recall@10": recall_at_k(approx, gt),
                 "wall_sec": round(time.time() - t0, 1),
             }

@@ -337,14 +337,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
     With n_planes sign bits the corpus splits into 2^n_planes buckets;
     recall is traded for a 2^n_planes candidate reduction. At 100 TB
     the bucketed corpus is also how you'd physically cluster the table
     (bucket column = partition key).
+
+    ``n_probe_bits`` (r6) is standard MULTI-PROBE LSH: a true neighbor
+    on the wrong side of d hyperplanes lands in a bucket at Hamming
+    distance d, so each query additionally probes every bucket within
+    ``n_probe_bits`` bit flips of its own -- sum(C(n_planes, j)) probe
+    buckets per query, exploded on the (tiny, broadcast) QUERY side
+    only; the corpus stays bucketed once. 0 = exact-bucket behavior
+    (the contract cell's pinned semantics); at n_probe_bits == n_planes
+    every bucket is probed and the result EQUALS brute force
+    (equivalence-tested). On the random-corpus recall curve this is
+    the difference between collapse (0.0 recall at 16 planes) and a
+    tunable recall/cost point -- see BENCH/ann_recall_r06.json.
     """
+    from itertools import combinations
+
     planes = _planes(dim, n_planes, seed)
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     # per-row norms before the join (see brute_force_topk): per-pair
@@ -355,6 +371,20 @@ def lsh_topk(
         VX.norm(F.col(vec_col)).alias("qnorm"),
         "bucket",
     )
+    if n_probe_bits > 0:
+        masks = [0] + [
+            sum(1 << b for b in bits)
+            for j in range(1, min(n_probe_bits, n_planes) + 1)
+            for bits in combinations(range(n_planes), j)
+        ]
+        queries = queries.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ),
+        )
     corpus = bucketed.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
