@@ -367,3 +367,75 @@ def test_minhash_lsh_bucket_cap(spark):
         a not in fam_ids and b not in fam_ids for a, b in pairs_capped
     )
     assert pairs_capped <= pairs_all
+
+
+def test_token_frame_cache_keeps_live_concurrent_session(docs):
+    """r6: _LAST_TOKEN_FRAME is keyed per application id so a live
+    concurrent session's persisted frame is NOT evicted by this one;
+    only slots whose SparkContext is stopped (or unprobeable) drop.
+    Only one real SparkContext can exist per process, so the foreign
+    sessions are stand-ins exposing exactly the probed attribute chain.
+    """
+    from types import SimpleNamespace
+
+    def fake_frame(stopped, raises=False):
+        def sc():
+            if raises:
+                raise RuntimeError("dead jvm")
+            return SimpleNamespace(isStopped=lambda: stopped)
+
+        return SimpleNamespace(
+            sparkSession=SimpleNamespace(
+                sparkContext=SimpleNamespace(_jsc=SimpleNamespace(sc=sc))
+            ),
+            unpersist=lambda blocking=False: None,
+        )
+
+    dedup._LAST_TOKEN_FRAME.clear()
+    dedup._LAST_TOKEN_FRAME["app-live"] = fake_frame(stopped=False)
+    dedup._LAST_TOKEN_FRAME["app-dead"] = fake_frame(stopped=True)
+    dedup._LAST_TOKEN_FRAME["app-gone"] = fake_frame(False, raises=True)
+    try:
+        dedup.near_dup_pairs(docs, threshold=0.7).count()
+        app = docs.sparkSession.sparkContext.applicationId
+        assert "app-live" in dedup._LAST_TOKEN_FRAME
+        assert "app-dead" not in dedup._LAST_TOKEN_FRAME
+        assert "app-gone" not in dedup._LAST_TOKEN_FRAME
+        assert app in dedup._LAST_TOKEN_FRAME
+    finally:
+        dedup._LAST_TOKEN_FRAME.pop("app-live", None)
+
+
+def test_broadcast_cache_keeps_live_concurrent_session(spark):
+    """Same liveness-probe eviction contract for similarity's
+    per-(app, matrix) broadcast cache."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from wikidata_pq_spark.operators import similarity
+
+    def fake_sc(stopped):
+        return SimpleNamespace(
+            _jsc=SimpleNamespace(
+                sc=lambda: SimpleNamespace(isStopped=lambda: stopped)
+            )
+        )
+
+    similarity._BROADCAST_CACHE.clear()
+    similarity._BROADCAST_CACHE[("other-live", (1,), "x")] = (
+        object(), fake_sc(False),
+    )
+    similarity._BROADCAST_CACHE[("other-dead", (1,), "y")] = (
+        object(), fake_sc(True),
+    )
+    try:
+        mat = np.arange(6, dtype=np.float64).reshape(2, 3)
+        bc1 = similarity._broadcast_matrix(mat)
+        bc2 = similarity._broadcast_matrix(mat)
+        assert bc1 is bc2  # same content -> same broadcast, no leak
+        keys = set(similarity._BROADCAST_CACHE)
+        assert ("other-live", (1,), "x") in keys
+        assert ("other-dead", (1,), "y") not in keys
+    finally:
+        similarity._BROADCAST_CACHE.pop(("other-live", (1,), "x"), None)

@@ -35,7 +35,10 @@ from ..functions import text as TX
 
 MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b within int64 under ANSI mode
 
-# holds the single most-recent persisted token frame (see near_dup_pairs)
+# most-recent persisted token frame PER application id (see
+# near_dup_pairs): keyed so two concurrent sessions in one python
+# process don't evict each other's frame; dead-app slots are dropped
+# on the next call from any live session.
 _LAST_TOKEN_FRAME: dict = {}
 
 # serializes ensure_parallelism's session-global AQE toggle
@@ -441,15 +444,28 @@ def near_dup_pairs(
     # blocks with it (the try/except would swallow the error, but not
     # relying on dead-context exceptions is the point).
     app = df.sparkSession.sparkContext.applicationId
-    prev = _LAST_TOKEN_FRAME.pop("df", None)
-    prev_app = _LAST_TOKEN_FRAME.pop("app", None)
-    if prev is not None and prev_app == app:
+    prev = _LAST_TOKEN_FRAME.pop(app, None)
+    if prev is not None:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass
-    _LAST_TOKEN_FRAME["df"] = tok
-    _LAST_TOKEN_FRAME["app"] = app
+    # drop slots whose application is gone (restarted sessions): their
+    # JVM -- and blocks -- died with them, only the python ref remains.
+    # A live concurrent session's slot is kept (that's the point of
+    # keying by app id); liveness probe errors count as dead.
+    for k in list(_LAST_TOKEN_FRAME):
+        if k == app:
+            continue
+        try:
+            stopped = _LAST_TOKEN_FRAME[
+                k
+            ].sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            del _LAST_TOKEN_FRAME[k]
+    _LAST_TOKEN_FRAME[app] = tok
     cands = minhash_lsh_candidates(
         df, n_hashes=n_hashes, n_bands=n_bands, text_col=text_col,
         id_col=id_col, tokens_df=tok, max_bucket_size=max_bucket_size,

@@ -240,17 +240,27 @@ def _broadcast_matrix(mat: "np.ndarray"):
         return None
     # applicationId (not id(sc)) as the context key: python id()s are
     # reused after GC, so a restarted session could collide with a dead
-    # context's entry and hand back a broadcast whose JVM is gone
+    # context's entry and hand back a broadcast whose JVM is gone.
+    # Each entry carries its owning SparkContext so eviction can probe
+    # LIVENESS rather than identity -- a live concurrent session's
+    # broadcasts are kept (r6: two sessions in one process no longer
+    # evict each other); probe errors count as dead.
     app = sess.sparkContext.applicationId
     for k in list(_BROADCAST_CACHE):
-        if k[0] != app:  # entries of stopped contexts: broadcast died
+        if k[0] == app:
+            continue
+        try:
+            stopped = _BROADCAST_CACHE[k][1]._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:  # entries of stopped contexts: broadcast died
             del _BROADCAST_CACHE[k]  # with its JVM; just drop the ref
     key = (app, mat.shape, hashlib.md5(mat.tobytes()).hexdigest())
-    bc = _BROADCAST_CACHE.get(key)
-    if bc is None:
-        bc = sess.sparkContext.broadcast(mat)
-        _BROADCAST_CACHE[key] = bc
-    return bc
+    entry = _BROADCAST_CACHE.get(key)
+    if entry is None:
+        entry = (sess.sparkContext.broadcast(mat), sess.sparkContext)
+        _BROADCAST_CACHE[key] = entry
+    return entry[0]
 
 
 def _bucket_batch(v: "pd.Series", mat: "np.ndarray", weights: "np.ndarray") -> "pd.Series":
