@@ -603,6 +603,23 @@ def q_ann_lsh(spark, sf):
     return similarity.lsh_topk(emb, n_queries=10, k=5)
 
 
+def q_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe hyperplane LSH (r6): each query also probes every
+    bucket within Hamming distance 1 of its own. Oracle: only the
+    bucket ASSIGNMENT is exported (numpy plane constants); the probe
+    expansion itself is re-derived in SQL (xor against the literal
+    1-bit mask set), as are candidate join, scoring and ranking."""
+    emb = load(spark, sf, "embeddings")
+    if _is_gate_sf(sf):
+        planes = similarity._planes(64, 4, 42)
+        buckets = emb.select(
+            F.col("vec_id"),
+            similarity.lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+        )
+        _export_golden(buckets.toPandas(), "ann_lsh_buckets_mp")
+    return similarity.lsh_topk(emb, n_queries=10, k=5, n_planes=4, n_probe_bits=1)
+
+
 def q_ann_ivf(spark, sf):
     """IVF ANN (inverted-file coarse quantizer). Oracle: the k-means
     cell assignments and per-query probe lists (the non-SQL steps --
@@ -1414,6 +1431,9 @@ EXTRA_QUERIES = {
     "j_semi_exists": q_semi_join,
     # -- r6 new operator: one-pass multi-seed PPR
     "kg_ppr_multiseed": q_kg_ppr_multiseed,
+    # -- r6 new operator: multi-probe LSH (probe expansion re-derived
+    #    in the oracle SQL, not exported)
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 # --------------------------------------------------------------------------
@@ -1936,6 +1956,26 @@ ORACLE_SQL = {
                     FROM read_parquet('{_export_path("ann_lsh_buckets")}')),
         q AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, bk.bucket
               FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
+              WHERE e.vec_id < 10),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 {_cosine_sql('q.qvec', 'e.embedding')} AS sim
+          FROM q JOIN bk ON q.bucket = bk.bucket
+                 JOIN embeddings e ON e.vec_id = bk.vec_id
+          WHERE e.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= 5
+    """,
+    "ann_lsh_multiprobe": f"""
+        WITH bk AS (SELECT vec_id, bucket
+                    FROM read_parquet('{_export_path("ann_lsh_buckets_mp")}')),
+        masks(m) AS (VALUES (0), (1), (2), (4), (8)),
+        q AS (SELECT e.vec_id AS query_id, e.embedding AS qvec,
+                     xor(bk.bucket, masks.m) AS bucket
+              FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id, masks
               WHERE e.vec_id < 10),
         scored AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
