@@ -487,3 +487,116 @@ def test_multi_seed_ppr_guards(spark):
         graph.multi_seed_ppr(edf, ss)
     with _pt.raises(ValueError, match="empty seed_sets"):
         graph.multi_seed_ppr(edf, ss.filter("node_id < 0"))
+
+
+def test_current_beliefs_as_of_time_travel(spark):
+    """r6: as_of answers "what did the KG believe at T" -- later
+    assertions are invisible, a key FIRST asserted after T has no
+    belief yet (the filter precedes the argmax), and the cutoff is
+    inclusive. as_of without a ts column refuses loudly."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    rows = [
+        ("Q1", "lives_in", "paris", "c1", 2, "2024-01-02 10:00:00"),
+        ("Q1", "lives_in", "tokyo", "c0", 5, "2024-03-01 09:00:00"),
+        # Q2's only assertion is AFTER the cutoff
+        ("Q2", "works_at", "acme", "c3", 1, "2024-02-01 08:00:00"),
+        # exactly AT the cutoff: inclusive
+        ("Q3", "ceo_of", "initech", "c4", 0, "2024-01-15 00:00:00"),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"]))
+    )
+    out = (
+        graph.current_beliefs(t, as_of="2024-01-15 00:00:00")
+        .toPandas()
+        .set_index(["subj", "pred"])
+    )
+    assert out.loc[("Q1", "lives_in"), "obj"] == "paris"  # tokyo is future
+    assert ("Q2", "works_at") not in out.index  # no belief yet at T
+    assert out.loc[("Q3", "ceo_of"), "obj"] == "initech"  # inclusive
+    assert len(out) == 2
+    # full-corpus view unchanged by the feature
+    full = graph.current_beliefs(t).toPandas()
+    assert len(full) == 3
+    with pytest.raises(ValueError, match="as_of requires a ts"):
+        graph.current_beliefs(
+            t.drop("ts"),
+            order_cols=("conv_id", "turn_idx"),
+            as_of="2024-01-15",
+        )
+
+
+def _brute_triangles(pairs):
+    """Independent reference: brute-force triangle enumeration."""
+    from itertools import combinations
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    return {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    }
+
+
+def test_triangles_exact_vs_bruteforce(spark):
+    """Degree-ordered triangle enumeration == brute force on a messy
+    graph: duplicate edges, both orientations of the same edge,
+    self-loops, and a hub node (skew) all handled; each triangle
+    emitted exactly once, sorted (a, b, c)."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    pairs = [
+        ("A", "B"), ("B", "C"), ("C", "A"),          # triangle ABC
+        ("C", "B"),                                   # reversed dup
+        ("A", "A"),                                   # self-loop
+        ("C", "D"), ("D", "E"), ("E", "C"),          # triangle CDE
+        ("H", "A"), ("H", "B"), ("H", "C"), ("H", "D"),  # hub
+        ("H", "E"), ("H", "F"), ("F", "G"),          # hub + tail
+        ("A", "B"),                                   # exact dup
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src_id", "dst_id"])
+    )
+    got = {
+        tuple(r) for r in graph.triangles(df).toPandas().itertuples(index=False)
+    }
+    exp = _brute_triangles(pairs)
+    assert got == exp
+    assert ("A", "B", "C") in got and ("C", "D", "E") in got
+    # hub closes a triangle with every adjacent edge among its neighbors
+    assert ("A", "B", "H") in got
+
+
+def test_triangles_random_graph_property(spark):
+    """Erdos-Renyi spot check: 60 nodes, p=0.12 -- implementation
+    matches the independent brute force on a graph with hundreds of
+    wedges and no structure to hide behind."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+
+    rng = np.random.default_rng(7)
+    n = 60
+    pairs = [
+        (f"n{i:02d}", f"n{j:02d}")
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < 0.12
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src_id", "dst_id"])
+    )
+    got = {
+        tuple(r) for r in graph.triangles(df).toPandas().itertuples(index=False)
+    }
+    exp = _brute_triangles(pairs)
+    assert got == exp and len(exp) > 20

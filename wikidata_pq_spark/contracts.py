@@ -910,6 +910,21 @@ def q_graph_degrees(spark, sf):
     return graph.degrees(_chain_edges(spark, sf))
 
 
+def q_graph_triangles(spark, sf):
+    """Exact triangle enumeration (degree-ordered compact-forward)
+    over the chain edges plus skip-one edges -- every in-decade
+    (i, i+1, i+2) closes a triangle. Oracle: three-way self-join over
+    the same canonical undirected edge set in SQL."""
+    from .operators import graph
+
+    c = load(spark, sf, "customer")
+    skip = c.filter(F.col("c_custkey") % 10 < 8).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 2).alias("dst_id"),
+    )
+    return graph.triangles(_chain_edges(spark, sf).union(skip))
+
+
 def q_graph_khop(spark, sf):
     """KG 2-hop reachability from every block-head seed (bounded BFS
     expansion as k equi-joins); oracle re-derives both hops in SQL."""
@@ -1109,6 +1124,20 @@ def q_current_beliefs(spark, sf):
 
     return graph.current_beliefs(
         _kg_triples_query(spark, sf, method="sql", include_ts=True)
+    )
+
+
+def q_beliefs_asof(spark, sf):
+    """Time-travel current-beliefs (r6): the belief state AS OF a
+    mid-corpus instant -- later assertions invisible, keys first
+    asserted after the cutoff absent. Oracle: same window argmax in
+    SQL over the golden triples with the identical inclusive ts
+    predicate."""
+    from .operators import graph
+
+    return graph.current_beliefs(
+        _kg_triples_query(spark, sf, method="sql", include_ts=True),
+        as_of="2026-01-03 00:00:00",
     )
 
 
@@ -1434,6 +1463,10 @@ EXTRA_QUERIES = {
     # -- r6 new operator: multi-probe LSH (probe expansion re-derived
     #    in the oracle SQL, not exported)
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    # -- r6 new operators: belief time travel + degree-ordered
+    #    triangle enumeration
+    "kg_beliefs_asof": q_beliefs_asof,
+    "graph_triangles": q_graph_triangles,
 }
 
 # --------------------------------------------------------------------------
@@ -2289,6 +2322,42 @@ ORACLE_SQL = {
                conv_id AS last_conv_id,
                CAST(turn_idx AS BIGINT) AS last_turn_idx
         FROM r WHERE rn = 1
+    """,
+    # -- time-travel beliefs: identical argmax with the inclusive
+    #    cutoff applied BEFORE the window (keys first asserted later
+    #    must be absent, not filtered winners)
+    "kg_beliefs_asof": f"""
+        WITH t AS (SELECT DISTINCT subj, pred, obj, conv_id, turn_idx, ts
+                   FROM read_parquet('{_export_path("kg_triples_golden")}')
+                   WHERE ts <= TIMESTAMP '2026-01-03 00:00:00'),
+        r AS (SELECT subj, pred, obj, ts, conv_id, turn_idx,
+                     row_number() OVER (PARTITION BY subj, pred
+                         ORDER BY ts DESC, conv_id DESC, turn_idx DESC, obj DESC) AS rn
+              FROM t)
+        SELECT subj, pred, obj,
+               ts AS last_ts,
+               conv_id AS last_conv_id,
+               CAST(turn_idx AS BIGINT) AS last_turn_idx
+        FROM r WHERE rn = 1
+    """,
+    # -- triangles: three-way self-join over the canonical (string-
+    #    sorted) undirected edge set; (a,b),(b,c),(a,c) with a<b<c
+    #    enumerates each triangle exactly once
+    "graph_triangles": """
+        WITH raw AS (
+          SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS s,
+                 'Q' || CAST(c_custkey + 1 AS VARCHAR) AS d
+          FROM customer WHERE c_custkey % 10 != 9
+          UNION ALL
+          SELECT 'Q' || CAST(c_custkey AS VARCHAR),
+                 'Q' || CAST(c_custkey + 2 AS VARCHAR)
+          FROM customer WHERE c_custkey % 10 < 8),
+        und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+                FROM raw WHERE s != d)
+        SELECT t1.u AS a, t1.v AS b, t2.v AS c
+        FROM und t1
+        JOIN und t2 ON t2.u = t1.v
+        JOIN und t3 ON t3.u = t1.u AND t3.v = t2.v
     """,
     # -- conflict gate: distinct-object count + sorted string-agg
     "kg_conflicts": f"""
