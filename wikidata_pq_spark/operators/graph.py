@@ -630,7 +630,10 @@ def conflicting_assertions(triples: DataFrame) -> DataFrame:
 
 
 def triangles(
-    edges: DataFrame, src: str = "src_id", dst: str = "dst_id"
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Exact triangle enumeration over the undirected graph, via
     DEGREE-ORDERED ORIENTATION (the compact-forward algorithm): each
@@ -651,6 +654,13 @@ def triangles(
 
     Returns (a, b, c) node-id triples, lexicographically sorted within
     each row.
+
+    ``und`` feeds the degree aggregate AND the orientation join, and
+    the oriented frame ``o`` feeds BOTH wedge legs plus the closing
+    join -- without lineage truncation each consumer would recompute
+    the whole upstream derivation (the branch-union recompute trap;
+    the plan golden showed the edge scan 6x). ``truncate_lineage=
+    False`` exists for plan inspection, the k_hop/CC discipline.
     """
     und = (
         edges.select(
@@ -660,6 +670,8 @@ def triangles(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if truncate_lineage:
+        und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -684,6 +696,8 @@ def triangles(
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("hi_deg"),
     )
+    if truncate_lineage:
+        o = o.localCheckpoint(eager=False)
     # wedges lo -> {x, y} with rank(x) < rank(y); the closing edge, if
     # present, is oriented x -> y by rank transitivity
     e1 = o.select(

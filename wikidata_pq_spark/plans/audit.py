@@ -123,6 +123,24 @@ CHECKS = {
         [r"BroadcastHashJoin", r"Window"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # triangles (r6): degree agg + wedge/closing EQUI-joins only --
+    # the compact-forward orientation must never degrade to a cartesian
+    "graph_triangles": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # multi-probe LSH (r6): probe explosion rides the BROADCAST query
+    # side of the bucket equi-join; corpus is never exploded
+    "ann_lsh_multiprobe": (
+        [r"BroadcastHashJoin", r"Generate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # belief time travel (r6): the as_of cutoff is a Filter BEFORE the
+    # per-key Window argmax on the pure-Catalyst chain
+    "kg_beliefs_asof": (
+        [r"Filter", r"Window"],
+        [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 
@@ -170,10 +188,32 @@ def _flatten_claims_raw(spark, sf):
     return flatten.flatten_claims(spark.createDataFrame(er))
 
 
+def _triangles_raw(spark, sf):
+    """triangles truncates lineage on the shared und/o frames (each
+    feeds 2-3 join legs); audit the untruncated plan so the degree
+    aggregate + wedge/closing equi-join shape stays visible."""
+    import pyspark.sql.functions as F
+
+    from .. import contracts
+    from ..operators import graph
+
+    c = contracts.load(spark, sf, "customer")
+    chain = c.filter(F.col("c_custkey") % 10 != 9).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
+    )
+    skip = c.filter(F.col("c_custkey") % 10 < 8).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 2).alias("dst_id"),
+    )
+    return graph.triangles(chain.union(skip), truncate_lineage=False)
+
+
 BUILDERS = {
     "flatten_claims_fourbranch": _flatten_claims_raw,
     "graph_khop": _graph_khop_raw,
     "kg_comention_edges": _comention_raw,
+    "graph_triangles": _triangles_raw,
 }
 
 
