@@ -183,6 +183,43 @@ def main() -> None:
         lambda: similarity.brute_force_topk(embs10, n_queries=100, k=10).count(),
     )
 
+    # -- triangles under adversarial skew (r6): 200k-node substrate
+    # (chain + skip-one edges -> 8 triangles per decade = 160k) plus a
+    # HUB adjacent to every even node (100k edges; its even-even
+    # skip-adjacent neighbor pairs add 4 per decade = 80k triangles).
+    # A naive wedge join materializes C(100k, 2) ~ 5e9 wedges at the
+    # hub; degree orientation points every hub edge INTO it, so the
+    # hub forms zero wedges and the step must stay seconds-fast. The
+    # 240k expected count is closed-form -- a hub blow-up or a missed
+    # closing join fails loudly, not just slowly.
+    from wikidata_pq_spark.operators import graph as G
+
+    n_nodes = 200_000
+    base = spark.range(n_nodes)
+    tri_edges = (
+        base.filter(F.col("id") % 10 != 9)
+        .select(F.col("id").alias("src_id"), (F.col("id") + 1).alias("dst_id"))
+        .union(
+            base.filter(F.col("id") % 10 < 8).select(
+                F.col("id").alias("src_id"), (F.col("id") + 2).alias("dst_id")
+            )
+        )
+        .union(
+            base.filter(F.col("id") % 2 == 0).select(
+                F.col("id").alias("src_id"),
+                F.lit(n_nodes).cast("long").alias("dst_id"),
+            )
+        )
+    )
+
+    def _tri():
+        n = G.triangles(tri_edges).count()
+        if n != 240_000:
+            raise RuntimeError(f"triangle count {n} != 240000")
+        return n
+
+    step("graph_triangles_skew_hub", _tri)
+
     # -- KG pipeline at ~sf1-equivalent (1M turns), audit + post-check on
     import tempfile
 
