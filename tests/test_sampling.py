@@ -1,0 +1,130 @@
+"""Deterministic sampling operators: hash membership, stratification,
+and the two reservoir strategies' exact equivalence (incl. a margin
+forced so low the prefilter MUST take its fallback path)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_pq_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"doc text {i} " + "x" * (i % 7))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _py_hash(key, seed=""):
+    return hashlib.md5((str(key) + seed).encode()).hexdigest()
+
+
+def test_hash_sample_matches_python_replay(docs):
+    got = {r.doc_id for r in sampling.hash_sample(docs, 0.25, "doc_id").collect()}
+    cutoff = sampling.fraction_to_hex_threshold(0.25)
+    want = {i for i in range(400) if _py_hash(i)[: sampling.HEX_CHARS] < cutoff}
+    assert got == want
+    assert 0 < len(got) < 400
+
+
+def test_hash_sample_stable_under_append_and_seed(docs):
+    before = {r.doc_id for r in sampling.hash_sample(docs, 0.3, "doc_id").collect()}
+    extra = docs.sparkSession.createDataFrame(
+        [(1000 + i, "en", f"new {i}") for i in range(50)],
+        "doc_id long, lang string, text string",
+    )
+    after = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.unionByName(extra), 0.3, "doc_id").collect()
+    }
+    # appending rows never flips membership of existing rows
+    assert before == {d for d in after if d < 1000}
+    # a different seed draws an independent sample (not identical)
+    seeded = {
+        r.doc_id for r in sampling.hash_sample(docs, 0.3, "doc_id", seed="v2").collect()
+    }
+    assert seeded != before
+
+
+def test_fraction_edge_cases(docs):
+    assert sampling.hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert sampling.hash_sample(docs, 1.0, "doc_id").count() == 400
+
+
+def test_stratified_fractions_and_default(docs):
+    out = sampling.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.1},
+        key_col="doc_id",
+        default_fraction=0.0,
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # fr has no entry and default 0 -> absent entirely
+    assert "fr" not in by_lang
+    # python replay per stratum
+    for lang, frac in (("en", 0.5), ("de", 0.1)):
+        cutoff = sampling.fraction_to_hex_threshold(frac)
+        want = {
+            i
+            for i in range(400)
+            if ["en", "de", "fr"][i % 3] == lang
+            and _py_hash(i)[: sampling.HEX_CHARS] < cutoff
+        }
+        assert by_lang.get(lang, set()) == want
+    # schema passthrough: no helper columns leak
+    cols = sampling.stratified_sample(
+        docs, "lang", {"en": 0.5}, key_col="doc_id"
+    ).columns
+    assert cols == ["lang", "doc_id", "text"]
+
+
+def _reservoir_ids(df, strategy, k=7, margin=4.0):
+    out = sampling.reservoir_per_group(
+        df, "lang", k=k, key_col="doc_id", strategy=strategy, margin=margin
+    )
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.lang, set()).add(r.doc_id)
+    return got, [c for c in out.columns]
+
+
+def test_reservoir_window_matches_python(docs):
+    got, cols = _reservoir_ids(docs, "window")
+    assert cols == ["doc_id", "lang", "text"]
+    for lang in ("en", "de", "fr"):
+        ids = [i for i in range(400) if ["en", "de", "fr"][i % 3] == lang]
+        want = set(sorted(ids, key=lambda i: (_py_hash(i), i))[:7])
+        assert got[lang] == want
+
+
+def test_reservoir_strategies_identical(docs):
+    w, _ = _reservoir_ids(docs, "window")
+    p, _ = _reservoir_ids(docs, "prefilter")
+    assert w == p
+
+
+def test_reservoir_prefilter_fallback_path_exact(docs):
+    """margin so small the per-group cutoff keeps ~0-1 rows: every
+    group must take the unfiltered fallback and the result is STILL
+    identical to the window strategy."""
+    w, _ = _reservoir_ids(docs, "window", k=7)
+    p, _ = _reservoir_ids(docs, "prefilter", k=7, margin=0.01)
+    assert w == p
+
+
+def test_reservoir_small_groups_returned_whole(spark):
+    tiny = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2")], "doc_id long, lang string"
+    )
+    got, _ = _reservoir_ids(tiny, "prefilter", k=10)
+    assert got == {"g1": {1, 2}, "g2": {3}}

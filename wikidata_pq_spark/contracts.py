@@ -1141,6 +1141,40 @@ def q_beliefs_asof(spark, sf):
     )
 
 
+def q_samp_stratified(spark, sf):
+    """Deterministic stratified sampling (r6): per-language fractions
+    over documents, md5-prefix membership, broadcast cutoff join.
+    Oracle: the identical md5-prefix predicate replayed per stratum as
+    a CASE in SQL (DuckDB and Spark md5 hex agree byte-for-byte)."""
+    from .operators import sampling
+
+    docs = load(spark, sf, "documents")
+    return sampling.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.1},
+        key_col="doc_id",
+        seed="r6",
+        default_fraction=0.0,
+    ).select("doc_id", "lang", "source")
+
+
+def q_samp_reservoir(spark, sf):
+    """Deterministic per-group 'reservoir' (r6): the k=25 docs per
+    language with the smallest sampling hash, via the PREFILTER scale
+    path (count-derived per-group hash cutoff + exactness fallback --
+    at 100 TB this sorts ~margin*k survivors per group instead of
+    whole strata). Oracle: the window definition itself -- row_number
+    over (lang, order by md5, id) <= k; strategies are pytest-pinned
+    identical so the oracle checks the scale path's result."""
+    from .operators import sampling
+
+    docs = load(spark, sf, "documents")
+    return sampling.reservoir_per_group(
+        docs, "lang", k=25, key_col="doc_id", strategy="prefilter"
+    ).select("doc_id", "lang")
+
+
 def q_kg_conflicts(spark, sf):
     """(subj, pred) keys asserted with conflicting objects -- the KG
     quality gate, over the same kg_triples chain + golden. Oracle:
@@ -1467,6 +1501,9 @@ EXTRA_QUERIES = {
     #    triangle enumeration
     "kg_beliefs_asof": q_beliefs_asof,
     "graph_triangles": q_graph_triangles,
+    # -- r6 new operator family: deterministic content-hash sampling
+    "samp_stratified": q_samp_stratified,
+    "samp_reservoir": q_samp_reservoir,
 }
 
 # --------------------------------------------------------------------------
@@ -2394,5 +2431,24 @@ ORACLE_SQL = {
     "kg_ppr_multiseed": f"""
         SELECT seed_set_id, node_id, TRUE AS within_tol
         FROM read_parquet('{_export_path("kg_ppr_multiseed_golden")}')
+    """,
+    # -- deterministic sampling: DuckDB md5 hex == Spark md5 hex, so
+    #    membership replays exactly (no export needed)
+    "samp_stratified": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 6) <
+              CASE lang WHEN 'en' THEN '800000'
+                        WHEN 'de' THEN '400000'
+                        WHEN 'zh' THEN '199999'
+                        ELSE '' END
+    """,
+    "samp_reservoir": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 25
     """,
 }

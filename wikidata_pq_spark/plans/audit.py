@@ -141,6 +141,18 @@ CHECKS = {
         [r"Filter", r"Window"],
         [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # stratified sampling (r6): cutoff dict is a BROADCAST join, the
+    # corpus side never shuffles, scan reads only the 3 output columns
+    "samp_stratified": (
+        [r"BroadcastHashJoin", r"ReadSchema: struct<doc_id:bigint,lang:string,source:string>"],
+        [r"SortMergeJoin", r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
+    # reservoir prefilter (r6): count aggregate + equi-joins + the
+    # survivor-only windows; pure Catalyst, no cartesian
+    "samp_reservoir": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 
@@ -209,11 +221,30 @@ def _triangles_raw(spark, sf):
     return graph.triangles(chain.union(skip), truncate_lineage=False)
 
 
+def _samp_reservoir_raw(spark, sf):
+    """reservoir_per_group truncates lineage on the survivor frame
+    (two consumers); audit the untruncated prefilter plan so the
+    count-aggregate + cutoff-filter + window shape stays visible."""
+    from .. import contracts
+    from ..operators import sampling
+
+    docs = contracts.load(spark, sf, "documents")
+    return sampling.reservoir_per_group(
+        docs,
+        "lang",
+        k=25,
+        key_col="doc_id",
+        strategy="prefilter",
+        truncate_lineage=False,
+    ).select("doc_id", "lang")
+
+
 BUILDERS = {
     "flatten_claims_fourbranch": _flatten_claims_raw,
     "graph_khop": _graph_khop_raw,
     "kg_comention_edges": _comention_raw,
     "graph_triangles": _triangles_raw,
+    "samp_reservoir": _samp_reservoir_raw,
 }
 
 
