@@ -1175,6 +1175,61 @@ def q_samp_reservoir(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_sk_heavy_hitters(spark, sf):
+    """Distributed Misra-Gries heavy hitters over document tokens
+    (r6): bounded state per partition, merge by summation + global
+    undercount bound. The cell is the sketch's own CONTRACT: the
+    merged estimates are exported at the gate sf, the query verifies
+    them against Spark's exact counts and emits (key, ok) for every
+    exported key plus every key at/above the share threshold (a
+    missing heavy key surfaces as an extra ok=false row), and the
+    oracle re-derives the exact side and the identical verdict in SQL
+    over the export."""
+    from .operators import sketches
+
+    docs = load(spark, sf, "documents")
+    toks = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("key"))
+        .where(F.col("key") != "")
+    )
+    hh = sketches.heavy_hitters(toks, "key", capacity=64, min_share=0.005)
+    if _is_gate_sf(sf):
+        _export_golden(hh.toPandas(), "heavy_hitters_mg")
+    exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.groupBy().agg(F.count(F.lit(1)).alias("n_tot"))
+    j = hh.join(exact, "key", "outer").join(F.broadcast(tot), how="cross")
+    return j.where(
+        F.col("est").isNotNull() | (F.col("cnt") >= F.lit(0.005) * F.col("n_tot"))
+    ).select(
+        "key",
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("cnt"))
+            & (F.col("cnt") <= F.col("est") + F.col("max_undercount"))
+        ).alias("ok"),
+    )
+
+
+def q_sk_approx_distinct(spark, sf):
+    """Per-language HLL++ token-vocabulary cardinality with the
+    error-bound verdict (r6): sketch + exact distinct in one
+    aggregate, (lang, approx_nd, exact_nd, within_tol). The approx
+    side is engine-specific, so it is exported at the gate sf and the
+    oracle recomputes exact_nd + the verdict independently in SQL."""
+    from .operators import sketches
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    out = sketches.approx_distinct_check(toks, "lang", "tok", rsd=0.05)
+    if _is_gate_sf(sf):
+        _export_golden(
+            out.select("lang", "approx_nd").toPandas(), "approx_distinct_hll"
+        )
+    return out
+
+
 def q_kg_conflicts(spark, sf):
     """(subj, pred) keys asserted with conflicting objects -- the KG
     quality gate, over the same kg_triples chain + golden. Oracle:
@@ -1504,6 +1559,9 @@ EXTRA_QUERIES = {
     # -- r6 new operator family: deterministic content-hash sampling
     "samp_stratified": q_samp_stratified,
     "samp_reservoir": q_samp_reservoir,
+    # -- r6 new operator family: bounded-state frequency sketches
+    "sk_heavy_hitters": q_sk_heavy_hitters,
+    "sk_approx_distinct": q_sk_approx_distinct,
 }
 
 # --------------------------------------------------------------------------
@@ -2450,5 +2508,43 @@ ORACLE_SQL = {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM documents)
         WHERE rn <= 25
+    """,
+    # -- Misra-Gries contract: exact token counts + the total are
+    #    re-derived from documents in SQL; the export supplies the
+    #    sketch's estimates; the verdict predicate is replayed verbatim
+    "sk_heavy_hitters": f"""
+        WITH tok AS (
+          SELECT unnest({_TOKS}) AS key FROM documents),
+        t AS (SELECT key FROM tok WHERE key != ''),
+        exact AS (SELECT key, count(*) AS cnt FROM t GROUP BY key),
+        tot AS (SELECT count(*) AS n_tot FROM t),
+        exp AS (SELECT key, est, max_undercount
+                FROM read_parquet('{_export_path("heavy_hitters_mg")}')),
+        j AS (SELECT coalesce(exp.key, exact.key) AS key,
+                     est, max_undercount, cnt
+              FROM exp FULL OUTER JOIN exact ON exp.key = exact.key)
+        SELECT key,
+               (est IS NOT NULL AND est <= cnt
+                AND cnt <= est + max_undercount) AS ok
+        FROM j, tot
+        WHERE est IS NOT NULL OR cnt >= 0.005 * n_tot
+    """,
+    # -- HLL distinct check: exact per-language vocabulary re-derived
+    #    in SQL, approx side from the export, same 6-sigma + slack
+    #    tolerance (tol_mult=6 * rsd=0.05 => 0.3, abs_slack=8)
+    "sk_approx_distinct": f"""
+        WITH tok AS (
+          SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+        t AS (SELECT lang, tok FROM tok WHERE tok != ''),
+        exact AS (SELECT lang, count(DISTINCT tok) AS exact_nd
+                  FROM t GROUP BY lang),
+        exp AS (SELECT lang, approx_nd
+                FROM read_parquet('{_export_path("approx_distinct_hll")}'))
+        SELECT exp.lang,
+               CAST(exp.approx_nd AS BIGINT) AS approx_nd,
+               CAST(exact.exact_nd AS BIGINT) AS exact_nd,
+               (abs(exp.approx_nd - exact.exact_nd)
+                <= 0.3 * exact.exact_nd + 8) AS within_tol
+        FROM exp JOIN exact ON exp.lang = exact.lang
     """,
 }

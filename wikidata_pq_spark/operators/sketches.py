@@ -1,0 +1,192 @@
+"""Bounded-state frequency sketches for corpus statistics.
+
+Two operators a 100 TB text pipeline needs where the exact answer's
+state is the problem, not the compute:
+
+- ``heavy_hitters``: distributed Misra-Gries. An exact token-frequency
+  top-k (groupBy + count + rank) shuffles the ENTIRE vocabulary -- on
+  a web corpus that is billions of distinct keys of state for an
+  answer that only needs the few thousand frequent ones. Misra-Gries
+  caps state at ``capacity`` counters per partition, the partials
+  merge by plain summation plus a global undercount bound, and the
+  result carries its own error bar: for every emitted key,
+  ``est <= true <= est + max_undercount``, and every key with true
+  frequency > max_undercount is guaranteed present. The shuffle is
+  O(partitions * capacity), independent of vocabulary size.
+
+- ``approx_distinct_by_group`` / ``approx_distinct_check``: per-group
+  HyperLogLog++ cardinality (``approx_count_distinct``), the standard
+  constant-state answer to COUNT(DISTINCT) at scale, with a checkable
+  contract: the check frame recomputes the EXACT distinct count in the
+  same pass and emits (group, within_tol) so an oracle can re-derive
+  the exact side independently and verify the sketch's error bound.
+
+The reference has no sketch stage (its corpus fits one node); these
+extend the engine the same way the dedup/ANN families do.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_compact(counters: Counter, capacity: int) -> int:
+    """One Misra-Gries decrement step: subtract the (capacity+1)-th
+    largest count from every counter, drop the non-positive. Returns
+    the decrement applied (the undercount this step introduces)."""
+    if len(counters) <= capacity:
+        return 0
+    d = sorted(counters.values(), reverse=True)[capacity]
+    for k in list(counters):
+        nv = counters[k] - d
+        if nv > 0:
+            counters[k] = nv
+        else:
+            del counters[k]
+    return d
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 4096,
+    min_share: float = 0.001,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Keys whose frequency MAY exceed ``min_share`` of the rows, with
+    per-key estimate + global undercount bound.
+
+    Shape: one ``mapInPandas`` pass emits <= capacity (key, est) rows
+    plus one decrement-total row per partition; the merge is a single
+    groupBy over that bounded partial set. The total-row-count and
+    total-decrement scalars ride a broadcast 1-row frame (never a
+    driver collect). Guarantees (pytest-pinned):
+
+    - est <= true_count <= est + max_undercount  for emitted keys;
+    - COMPLETE at the threshold: every key with
+      true_count >= min_share * n_total is in the result (its est is
+      >= true - max_undercount, so its upper bound clears the filter);
+    - capacity >= vocabulary  =>  est == true_count exactly and
+      max_undercount == 0.
+
+    Null keys are excluded (they are the partial frames' decrement
+    marker). Per-batch work is ``value_counts`` (C speed) + a
+    vocabulary-sized dict merge -- per unique key, never per row (the
+    simhash lesson).
+    """
+    from . import dedup
+
+    keyed = dedup.ensure_parallelism(
+        df.where(F.col(key_col).isNotNull()).select(
+            F.col(key_col).cast("string").alias("key")
+        )
+    )
+
+    def mg(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: Counter = Counter()
+        dec = 0
+        for pdf in pdfs:
+            vc = pdf["key"].value_counts()
+            counters.update(
+                {k: int(v) for k, v in zip(vc.index, vc.to_numpy())}
+            )
+            dec += _mg_compact(counters, capacity)
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                "key": keys + [None],
+                "est": [counters[k] for k in keys] + [0],
+                "dec": [0] * len(keys) + [dec],
+            }
+        )
+
+    parts = keyed.mapInPandas(mg, schema="key string, est long, dec long")
+    # the partials feed the key merge AND the decrement aggregate;
+    # materialize once (bounded: <= n_parts * (capacity+1) rows).
+    # truncate_lineage=False exists for the plan audit only.
+    if truncate_lineage:
+        parts = parts.localCheckpoint(eager=False)
+
+    totals = parts.agg(F.sum("dec").alias("max_undercount"))
+    n_total = df.where(F.col(key_col).isNotNull()).groupBy().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    scalars = totals.crossJoin(n_total)  # 1 row x 1 row
+
+    merged = (
+        parts.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("est").alias("est"))
+    )
+    out = merged.join(F.broadcast(scalars), how="cross")
+    # completeness-safe filter: keep iff the key's UPPER bound clears
+    # the threshold -- a dropped key provably has true < min_share*n
+    return out.where(
+        F.col("est") + F.col("max_undercount") >= F.lit(min_share) * F.col("n_total")
+    ).select("key", "est", "max_undercount", "n_total")
+
+
+def top_k_keys_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The exact baseline: full groupBy count + rank. Correct at any
+    scale but shuffles the whole vocabulary -- the thing
+    ``heavy_hitters`` exists to avoid; kept for equivalence tests and
+    small-dimension use."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def approx_distinct_by_group(
+    df: DataFrame, group_col: str, value_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Per-group HyperLogLog++ cardinality: constant state per group
+    regardless of value cardinality (the scale path for per-language /
+    per-source vocabulary dashboards)."""
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_nd")
+    )
+
+
+def approx_distinct_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+    tol_mult: float = 6.0,
+    abs_slack: int = 8,
+) -> DataFrame:
+    """(group, approx_nd, exact_nd, within_tol): the sketch and the
+    exact count in ONE aggregate, with the error-bound verdict
+    attached. ``tol_mult`` standard deviations plus a small absolute
+    slack (HLL++ switches to exact sparse mode at low cardinality, so
+    tiny groups are exact; the slack covers the mode boundary).
+
+    The oracle pattern: the approx side is engine-specific, so the
+    contract exports THIS frame's (group, approx_nd) and the oracle
+    recomputes exact_nd + the verdict independently in SQL.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_nd"),
+        F.countDistinct(value_col).alias("exact_nd"),
+    )
+    tol = F.lit(tol_mult * rsd) * F.col("exact_nd") + F.lit(abs_slack)
+    return agg.select(
+        group_col,
+        "approx_nd",
+        "exact_nd",
+        (F.abs(F.col("approx_nd") - F.col("exact_nd")) <= tol).alias("within_tol"),
+    )

@@ -153,6 +153,18 @@ CHECKS = {
         [r"HashAggregate", r"Window"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # Misra-Gries (r6): ONE MapInPandas over the keys; the merge is a
+    # plain aggregate over the bounded partials (never a second pass
+    # over the corpus, never row-at-a-time Python)
+    "sk_heavy_hitters": (
+        [r"MapInPandas", r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
+    # HLL + exact distinct in one grouped aggregate; pure Catalyst
+    "sk_approx_distinct": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 
@@ -239,12 +251,31 @@ def _samp_reservoir_raw(spark, sf):
     ).select("doc_id", "lang")
 
 
+def _sk_heavy_hitters_raw(spark, sf):
+    """heavy_hitters truncates lineage on the bounded partials frame
+    (two consumers); audit the untruncated sketch + merge plan."""
+    import pyspark.sql.functions as F
+
+    from .. import contracts
+    from ..functions import text as TX
+    from ..operators import sketches
+
+    docs = contracts.load(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("key")).where(
+        F.col("key") != ""
+    )
+    return sketches.heavy_hitters(
+        toks, "key", capacity=64, min_share=0.005, truncate_lineage=False
+    )
+
+
 BUILDERS = {
     "flatten_claims_fourbranch": _flatten_claims_raw,
     "graph_khop": _graph_khop_raw,
     "kg_comention_edges": _comention_raw,
     "graph_triangles": _triangles_raw,
     "samp_reservoir": _samp_reservoir_raw,
+    "sk_heavy_hitters": _sk_heavy_hitters_raw,
 }
 
 
