@@ -77,6 +77,24 @@ def test_mg_compact_unit():
     assert sketches._mg_compact(c, capacity=2) == 0
 
 
+def test_approx_quantile_check_verdicts_and_ranks(spark):
+    import numpy as np
+
+    vals = [(("g1", float(v))) for v in range(1000)] + [
+        ("g2", float(v % 37)) for v in range(500)
+    ]
+    df = spark.createDataFrame(vals, "grp string, val double")
+    out = sketches.approx_quantile_check(
+        df, "grp", "val", qs=(0.5, 0.95), accuracy=1000
+    ).collect()
+    assert len(out) == 4
+    assert all(r.within_tol for r in out)
+    # at accuracy >= n the GK sketch is near-exact: the q=0.5 value for
+    # the uniform 0..999 group must be the true median neighborhood
+    med = [r.approx_val for r in out if r.grp == "g1" and abs(r.q - 0.5) < 1e-9][0]
+    assert abs(med - 499.5) <= 2
+
+
 GATE_SF = "/root/testdata/sf0.01"
 
 
@@ -91,6 +109,8 @@ def test_contract_cells_verdicts_all_true(spark):
     assert hh and all(r.ok for r in hh)
     ad = contracts.q_sk_approx_distinct(spark, GATE_SF).collect()
     assert ad and all(r.within_tol for r in ad)
+    aq = contracts.q_sk_approx_quantiles(spark, GATE_SF).collect()
+    assert aq and all(r.within_tol for r in aq)
 
 
 def test_approx_distinct_check_all_within_tol(spark):

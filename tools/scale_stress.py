@@ -183,6 +183,37 @@ def main() -> None:
         lambda: similarity.brute_force_topk(embs10, n_queries=100, k=10).count(),
     )
 
+    # -- frequency sketch + reservoir at 10x (r6 late): the MG state
+    # bound means shuffle here is O(partitions * capacity), not
+    # O(vocabulary); the reservoir prefilter sorts ~margin*k survivors
+    # per language, not whole strata. Both carry closed-form guards.
+    from wikidata_pq_spark.functions import text as TX
+    from wikidata_pq_spark.operators import sampling, sketches
+
+    toks10 = docs10.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("key")
+    ).where(F.col("key") != "")
+
+    def _hh():
+        rows = sketches.heavy_hitters(
+            toks10, "key", capacity=1024, min_share=0.001
+        ).count()
+        if rows == 0:
+            raise RuntimeError("heavy_hitters returned nothing at 10x")
+        return rows
+
+    step("sk_heavy_hitters_10x", _hh, reps=2)
+
+    def _res():
+        rows = sampling.reservoir_per_group(
+            docs10, "lang", k=1000, key_col="doc_id", strategy="prefilter"
+        ).count()
+        if rows != 5 * 1000:
+            raise RuntimeError(f"reservoir rows {rows} != 5000")
+        return rows
+
+    step("samp_reservoir_10x", _res)
+
     # -- triangles under adversarial skew (r6): 200k-node substrate
     # (chain + skip-one edges -> 8 triangles per decade = 160k) plus a
     # HUB adjacent to every even node (100k edges; its even-even

@@ -1230,6 +1230,26 @@ def q_sk_approx_distinct(spark, sf):
     return out
 
 
+def q_sk_approx_quantiles(spark, sf):
+    """Grouped Greenwald-Khanna quantiles (the scale path the exact
+    a_exact_quantiles cell points at) verified by the sketch's RANK
+    contract: |rank(approx) - q*n| <= n/accuracy (+1 discreteness
+    slack). The approx values are engine-specific -> exported; the
+    oracle recomputes the rank interval and the verdict in SQL."""
+    from .operators import sketches
+
+    li = load(spark, sf, "lineitem")
+    out = sketches.approx_quantile_check(
+        li, "l_returnflag", "l_extendedprice", qs=(0.5, 0.95), accuracy=1000
+    )
+    if _is_gate_sf(sf):
+        _export_golden(
+            out.select("l_returnflag", "q", "approx_val").toPandas(),
+            "approx_quantiles_gk",
+        )
+    return out
+
+
 def q_kg_conflicts(spark, sf):
     """(subj, pred) keys asserted with conflicting objects -- the KG
     quality gate, over the same kg_triples chain + golden. Oracle:
@@ -1562,6 +1582,7 @@ EXTRA_QUERIES = {
     # -- r6 new operator family: bounded-state frequency sketches
     "sk_heavy_hitters": q_sk_heavy_hitters,
     "sk_approx_distinct": q_sk_approx_distinct,
+    "sk_approx_quantiles": q_sk_approx_quantiles,
 }
 
 # --------------------------------------------------------------------------
@@ -2546,5 +2567,25 @@ ORACLE_SQL = {
                (abs(exp.approx_nd - exact.exact_nd)
                 <= 0.3 * exact.exact_nd + 8) AS within_tol
         FROM exp JOIN exact ON exp.lang = exact.lang
+    """,
+    # -- GK quantile rank contract: the rank interval of each exported
+    #    approx value is recomputed from lineitem in SQL and tested
+    #    against the promised band |rank - q*n| <= n/1000 (+1)
+    "sk_approx_quantiles": f"""
+        WITH exp AS (SELECT l_returnflag, q, approx_val
+                     FROM read_parquet('{_export_path("approx_quantiles_gk")}')),
+        r AS (
+          SELECT exp.l_returnflag, exp.q, exp.approx_val,
+                 sum(CASE WHEN li.l_extendedprice < exp.approx_val
+                          THEN 1 ELSE 0 END) AS r_low,
+                 sum(CASE WHEN li.l_extendedprice <= exp.approx_val
+                          THEN 1 ELSE 0 END) AS r_high,
+                 count(*) AS n
+          FROM exp JOIN lineitem li ON li.l_returnflag = exp.l_returnflag
+          GROUP BY exp.l_returnflag, exp.q, exp.approx_val)
+        SELECT l_returnflag, q, approx_val,
+               (r_high >= q * n - (n / 1000.0 + 1)
+                AND r_low <= q * n + (n / 1000.0 + 1)) AS within_tol
+        FROM r
     """,
 }

@@ -150,6 +150,51 @@ def top_k_keys_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
     )
 
 
+def approx_quantile_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.95),
+    accuracy: int = 1000,
+    slack: int = 1,
+) -> DataFrame:
+    """(group, q, approx_val, within_tol): Greenwald-Khanna grouped
+    quantiles (``approx_percentile`` -- the constant-state scale path
+    the exact-percentile cell notes it would use at 100 TB) verified
+    by their RANK-error contract, not value equality: the sketch
+    promises |rank(approx_val) - q*n| <= n/accuracy. The sketch
+    returns actual data elements, so the rank interval
+    [count(v < approx_val), count(v <= approx_val)] is well-defined;
+    the verdict is whether it intersects the promised band (+slack
+    for discreteness).
+
+    Two aggregates + one broadcast join of the tiny quantile frame --
+    the corpus is scanned twice, shuffled once per aggregate on the
+    group key, never sorted globally.
+    """
+    apx = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, list(qs), accuracy).alias("qv")
+    )
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    apx_long = apx.select(
+        group_col, F.posexplode("qv").alias("qi", "approx_val")
+    ).select(
+        group_col,
+        F.element_at(qlit, F.col("qi") + 1).alias("q"),
+        "approx_val",
+    )
+    joined = df.join(F.broadcast(apx_long), on=group_col)
+    ranks = joined.groupBy(group_col, "q", "approx_val").agg(
+        F.sum((F.col(value_col) < F.col("approx_val")).cast("long")).alias("r_low"),
+        F.sum((F.col(value_col) <= F.col("approx_val")).cast("long")).alias("r_high"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    band = F.col("n") / F.lit(accuracy) + F.lit(slack)
+    target = F.col("q") * F.col("n")
+    ok = (F.col("r_high") >= target - band) & (F.col("r_low") <= target + band)
+    return ranks.select(group_col, "q", "approx_val", ok.alias("within_tol"))
+
+
 def approx_distinct_by_group(
     df: DataFrame, group_col: str, value_col: str, rsd: float = 0.05
 ) -> DataFrame:

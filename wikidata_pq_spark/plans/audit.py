@@ -165,6 +165,12 @@ CHECKS = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # GK quantiles + rank verify: the tiny quantile frame is the
+    # BROADCAST side of the rank join; no sort, no Python
+    "sk_approx_quantiles": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 
