@@ -600,3 +600,60 @@ def test_triangles_random_graph_property(spark):
     }
     exp = _brute_triangles(pairs)
     assert got == exp and len(exp) > 20
+
+
+# ---------------------------------------------------------------------------
+# label propagation (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_matches_python_reference_messy_graph(spark):
+    """Spark LPA == the independent python replay on a messy graph:
+    two dense blobs bridged by one edge, a chain, self-loops and
+    duplicate/reversed edges."""
+    import pandas as pd
+
+    from wikidata_pq_spark import oracle as kg_oracle
+    from wikidata_pq_spark.operators import graph
+
+    pairs = set()
+    blob1 = [f"A{i}" for i in range(6)]
+    blob2 = [f"B{i}" for i in range(5)]
+    for blob in (blob1, blob2):
+        for i, u in enumerate(blob):
+            for v in blob[i + 1 :]:
+                pairs.add((u, v))
+    pairs.add(("A0", "B0"))                      # bridge
+    pairs |= {("C0", "C1"), ("C1", "C2"), ("C2", "C3")}  # chain
+    edges = list(pairs) + [("A1", "A0"), ("A0", "A0"), ("A0", "A1")]
+    sdf = spark.createDataFrame(edges, "src_id string, dst_id string")
+    got = {
+        (r.node_id, r.label)
+        for r in graph.label_propagation(sdf, iters=8).collect()
+    }
+    ref = kg_oracle.lpa_reference(
+        pd.DataFrame(edges, columns=["subj", "obj"]), iters=8
+    )
+    want = set(zip(ref["node_id"], ref["label"]))
+    assert got == want
+
+
+def test_lpa_two_cliques_form_two_communities(spark):
+    """Two 5-cliques joined by a single bridge keep distinct labels,
+    and each clique is internally uniform."""
+    from wikidata_pq_spark.operators import graph
+
+    edges = []
+    for prefix in ("X", "Y"):
+        ns = [f"{prefix}{i}" for i in range(5)]
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                edges.append((u, v))
+    edges.append(("X0", "Y0"))
+    sdf = spark.createDataFrame(edges, "src_id string, dst_id string")
+    out = graph.label_propagation(sdf, iters=10).collect()
+    labels = {r.node_id: r.label for r in out}
+    x_labels = {labels[f"X{i}"] for i in range(5)}
+    y_labels = {labels[f"Y{i}"] for i in range(5)}
+    assert len(x_labels) == 1 and len(y_labels) == 1
+    assert x_labels != y_labels

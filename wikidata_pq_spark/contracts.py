@@ -1250,6 +1250,23 @@ def q_sk_approx_quantiles(spark, sf):
     return out
 
 
+def q_graph_lpa(spark, sf):
+    """Deterministic synchronous label propagation over the KG entity
+    graph (r6): community labels after 10 majority/min-tie rounds.
+    Exact oracle (no tolerance needed -- labels are discrete): the
+    independent pure-python replay over the pandas oracle's OWN edge
+    derivation is exported as the golden; any edge-set or labeling
+    drift is a row/value mismatch."""
+    from .operators import graph
+
+    ref = kg_oracle.lpa_reference(_oracle_entity_edges_pdf(_sf_name(sf)), iters=10)
+    if _is_gate_sf(sf):
+        _export_golden(ref, "graph_lpa_golden")
+    return graph.label_propagation(
+        _kg_entity_edges(spark, sf), iters=10, src="subj", dst="obj"
+    )
+
+
 def q_kg_conflicts(spark, sf):
     """(subj, pred) keys asserted with conflicting objects -- the KG
     quality gate, over the same kg_triples chain + golden. Oracle:
@@ -1583,6 +1600,8 @@ EXTRA_QUERIES = {
     "sk_heavy_hitters": q_sk_heavy_hitters,
     "sk_approx_distinct": q_sk_approx_distinct,
     "sk_approx_quantiles": q_sk_approx_quantiles,
+    # -- r6 new operator: deterministic LPA communities
+    "graph_lpa": q_graph_lpa,
 }
 
 # --------------------------------------------------------------------------
@@ -2567,6 +2586,11 @@ ORACLE_SQL = {
                (abs(exp.approx_nd - exact.exact_nd)
                 <= 0.3 * exact.exact_nd + 8) AS within_tol
         FROM exp JOIN exact ON exp.lang = exact.lang
+    """,
+    # -- LPA: exact discrete labels from the independent python replay
+    "graph_lpa": f"""
+        SELECT node_id, label
+        FROM read_parquet('{_export_path("graph_lpa_golden")}')
     """,
     # -- GK quantile rank contract: the rank interval of each exported
     #    approx value is recomputed from lineitem in SQL and tested

@@ -716,3 +716,59 @@ def triangles(
     return tri.select(
         srt[0].alias("a"), srt[1].alias("b"), srt[2].alias("c")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Deterministic synchronous label propagation: (node_id, label)
+    community assignments over the undirected graph.
+
+    Classic LPA is run-order dependent; this variant is a pure
+    function of the graph so it is oracle-checkable and stable across
+    partitionings: every node starts labeled with its own id, and each
+    SYNCHRONOUS round relabels every node with its neighbors' majority
+    label, ties broken by MINIMUM label (so the winner is unique and
+    engine-independent). Fixed ``iters`` bounds cost exactly like
+    pagerank's -- convergence detection would add a global aggregate
+    per round, and oscillation on bipartite structures makes "run to
+    convergence" ill-defined for the synchronous variant anyway.
+
+    Scale shape per round: one equi-join of the label frame (O(nodes))
+    against the undirected edge frame on the neighbor key, one
+    (node, label) count aggregate, one per-node argmax via
+    min(struct(-count, label)) -- map-side combinable, never a window
+    over whole partitions. The edge frame is checkpointed once;
+    per-round lineage is truncated (the pagerank/k_hop discipline).
+    """
+    fwd = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    rev = edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    und = fwd.union(rev).where(F.col("_u") != F.col("_v")).distinct()
+    if truncate_lineage:
+        und = und.localCheckpoint(eager=False)
+    labels = (
+        und.select(F.col("_u").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("label"))
+    )
+    if truncate_lineage:
+        labels = labels.localCheckpoint(eager=False)
+    for _ in range(iters):
+        votes = und.join(
+            labels.select(F.col("node_id").alias("_v"), "label"), "_v"
+        ).select(F.col("_u").alias("node_id"), "label")
+        counts = votes.groupBy("node_id", "label").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        labels = (
+            counts.groupBy("node_id")
+            .agg(F.min(F.struct((-F.col("_cnt")).alias("_neg"), F.col("label"))).alias("_w"))
+            .select("node_id", F.col("_w.label").alias("label"))
+        )
+        if truncate_lineage:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

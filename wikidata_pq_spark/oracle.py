@@ -292,3 +292,32 @@ def precision_recall(
         return (0.0, 0.0)
     inter = len(g & t)
     return (inter / len(g), inter / len(t))
+
+
+def lpa_reference(edges: pd.DataFrame, iters: int = 10) -> pd.DataFrame:
+    """Pure-python synchronous label propagation mirroring
+    operators.graph.label_propagation's exact formulation (undirected,
+    self-loops dropped, majority label with minimum-label tie-break,
+    fixed synchronous rounds). Shares no code with the Spark
+    implementation -- the independent golden for the graph_lpa
+    contract cell.
+
+    Returns (node_id, label), one row per node appearing in any edge.
+    """
+    from collections import Counter
+
+    adj: dict = {}
+    for s, d in zip(edges["subj"], edges["obj"]):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {u: u for u in adj}
+    for _ in range(iters):
+        nxt = {}
+        for u in adj:
+            votes = Counter(labels[v] for v in adj[u])
+            nxt[u] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    nodes = sorted(adj)
+    return pd.DataFrame({"node_id": nodes, "label": [labels[u] for u in nodes]})

@@ -171,6 +171,12 @@ CHECKS = {
         [r"HashAggregate", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"SortMergeJoin", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # LPA (r6): per-round = one equi-join + (node,label) count + argmax
+    # aggregate -- never a window over whole partitions, no cartesian
+    "graph_lpa": (
+        [r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window", r"MapInPandas", r"BatchEvalPython"],
+    ),
 }
 
 
@@ -275,6 +281,24 @@ def _sk_heavy_hitters_raw(spark, sf):
     )
 
 
+def _graph_lpa_raw(spark, sf):
+    """label_propagation truncates lineage per round; audit TWO
+    untruncated rounds over the chain-edge graph (the per-round
+    join/aggregate shape repeats identically, so two rounds pin it
+    without a 10-deep golden)."""
+    import pyspark.sql.functions as F
+
+    from .. import contracts
+    from ..operators import graph
+
+    c = contracts.load(spark, sf, "customer")
+    edges = c.filter(F.col("c_custkey") % 10 != 9).select(
+        F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
+        F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
+    )
+    return graph.label_propagation(edges, iters=2, truncate_lineage=False)
+
+
 BUILDERS = {
     "flatten_claims_fourbranch": _flatten_claims_raw,
     "graph_khop": _graph_khop_raw,
@@ -282,6 +306,7 @@ BUILDERS = {
     "graph_triangles": _triangles_raw,
     "samp_reservoir": _samp_reservoir_raw,
     "sk_heavy_hitters": _sk_heavy_hitters_raw,
+    "graph_lpa": _graph_lpa_raw,
 }
 
 
