@@ -251,6 +251,51 @@ def main() -> None:
 
     step("graph_triangles_skew_hub", _tri)
 
+    # -- LPA under adversarial skew (r6 late): 20k disjoint 10-node
+    # CLIQUES (200k nodes, 900k intra-block edges) plus a HUB adjacent
+    # to every node (200k edges -- the vote join's hottest possible
+    # key: one label row fanning out to 200k edge rows per round).
+    # Synchronous majority/min-tie LPA has a CLOSED FORM here, checked
+    # against the pure-python reference at small scale: every block
+    # converges to its minimum node id by round 2, and the hub (whose
+    # 200k neighbor labels tie at equal counts) takes the global min 0
+    # without perturbing any block, so iters=4 must yield label ==
+    # 10*(id div 10) for every clique node and 0 for the hub -- a
+    # wrong join shape or a skew blow-up fails loudly, not just slowly.
+    lpa_n_blocks = 20_000
+    lpa_hub = lpa_n_blocks * 10
+    pair_offsets = spark.createDataFrame(
+        [(i, j) for i in range(10) for j in range(i + 1, 10)], "i int, j int"
+    )
+    lpa_edges = (
+        spark.range(lpa_n_blocks)
+        .crossJoin(pair_offsets)
+        .select(
+            (F.col("id") * 10 + F.col("i")).alias("src_id"),
+            (F.col("id") * 10 + F.col("j")).alias("dst_id"),
+        )
+        .union(
+            spark.range(lpa_hub).select(
+                F.col("id").alias("src_id"),
+                F.lit(lpa_hub).cast("long").alias("dst_id"),
+            )
+        )
+    )
+
+    def _lpa():
+        out = G.label_propagation(lpa_edges, iters=4)
+        bad = out.filter(
+            F.when(F.col("node_id") == lpa_hub, F.col("label") != 0).otherwise(
+                F.col("label") != (F.col("node_id") - F.col("node_id") % 10)
+            )
+        ).count()
+        n = out.count()
+        if bad != 0 or n != lpa_hub + 1:
+            raise RuntimeError(f"lpa mismatch: {bad} bad labels, {n} nodes")
+        return n
+
+    step("graph_lpa_hub_communities", _lpa)
+
     # -- KG pipeline at ~sf1-equivalent (1M turns), audit + post-check on
     import tempfile
 
