@@ -128,3 +128,21 @@ def test_reservoir_small_groups_returned_whole(spark):
     )
     got, _ = _reservoir_ids(tiny, "prefilter", k=10)
     assert got == {"g1": {1, 2}, "g2": {3}}
+
+
+def test_reservoir_null_group_kept_by_both_strategies(spark):
+    """A NULL group value is one stratum like any other in BOTH
+    strategies (r6 review: the prefilter path's bare-column equi-joins
+    silently dropped the NULL stratum; now joined on a struct-wrapped
+    null-safe key)."""
+    rows = [(i, None if i % 4 == 0 else ["en", "de"][i % 2], f"t{i}")
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w, _ = _reservoir_ids(df, "window", k=5)
+    p, _ = _reservoir_ids(df, "prefilter", k=5)
+    assert w == p
+    assert None in p and len(p[None]) == 5
+    # and the NULL stratum is exactly the 5 hash-smallest NULL-group ids
+    null_ids = [i for i in range(80) if i % 4 == 0]
+    want = set(sorted(null_ids, key=lambda i: (_py_hash(i), i))[:5])
+    assert p[None] == want

@@ -40,7 +40,9 @@ def test_mg_exact_when_capacity_covers_vocab(skewed):
 def test_mg_bounds_and_completeness_small_capacity(skewed):
     df, truth = skewed
     n = sum(truth.values())
-    out = sketches.heavy_hitters(df, "tok", capacity=8, min_share=0.01).collect()
+    out = sketches.heavy_hitters(
+        df, "tok", capacity=8, min_share=0.01, require_complete=False
+    ).collect()
     got = {r.key: (r.est, r.max_undercount) for r in out}
     # undercount bound: est <= true <= est + max_undercount
     for k, (est, mu) in got.items():
@@ -125,3 +127,20 @@ def test_approx_distinct_check_all_within_tol(spark):
         truth.setdefault(g, set()).add(v)
     for r in out:
         assert r.exact_nd == len(truth[r.grp])
+
+
+def test_mg_refuses_statically_unsound_capacity(spark):
+    df = spark.createDataFrame([(1, "a")], "row_id long, tok string")
+    with pytest.raises(ValueError, match="require_complete"):
+        sketches.heavy_hitters(df, "tok", capacity=8, min_share=0.01)
+
+
+def test_approx_quantile_check_ignores_null_values(spark):
+    """percentile_approx skips NULL values; the rank contract must
+    compute its target rank over non-null values too (r6 review:
+    count(*) over a null-heavy column tested the sketch against a
+    rank it never promised)."""
+    rows = [("g", float(v)) for v in range(1000)] + [("g", None)] * 1000
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = sketches.approx_quantile_check(df, "grp", "val", qs=(0.5,)).collect()
+    assert len(out) == 1 and out[0].within_tol

@@ -133,7 +133,10 @@ def reservoir_per_group(
     """Deterministic fixed-size sample: the ``k`` rows per group with
     the SMALLEST sampling hash (total order: (md5 hex, key)).
 
-    Strategies -- both return the IDENTICAL row set (pytest-pinned):
+    Strategies -- both return the IDENTICAL row set (pytest-pinned,
+    including a NULL group value, which is one stratum like any other
+    in both paths -- the prefilter path joins on a struct-wrapped key
+    so NULL groups survive its equi/semi/anti joins):
 
     - ``window``: row_number over (group, order by hash, key) <= k.
       The baseline semantics; fine when groups are many and small,
@@ -176,21 +179,32 @@ def reservoir_per_group(
     # any hex-prefix range -- safe to prefilter with, never to rank by.
     num = F.conv(F.substring(F.col("_samp_hash"), 1, _NUM_HEX), 16, 10).cast("long")
     base = base.withColumn("_samp_num", num)
+    # struct-wrapped group key: struct equality is null-safe, so a
+    # NULL group survives every equi/semi/anti join below exactly as
+    # it survives the window path's partitionBy (which also keeps
+    # NULLs as one group) -- a bare-column join would silently drop
+    # the NULL stratum from the prefilter path only.
+    base = base.withColumn("_samp_grp", F.struct(F.col(group_col)))
 
-    counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_samp_n"))
+    counts = base.groupBy("_samp_grp").agg(F.count(F.lit(1)).alias("_samp_n"))
     cutoff = F.least(
         F.lit(float(_NUM_SPACE)),
         F.lit(margin * k) / F.col("_samp_n") * F.lit(float(_NUM_SPACE)),
     ).alias("_samp_cut")
-    counts = counts.select(group_col, "_samp_n", cutoff)
+    counts = counts.select("_samp_grp", "_samp_n", cutoff)
+    # counts feeds the survivors join AND the emptied-groups anti-join
+    # below; materialize the one-row-per-group aggregate once so the
+    # second consumer does not re-run the corpus scan + count (the
+    # branch-and-union recompute trap).
+    if truncate_lineage:
+        counts = counts.localCheckpoint(eager=False)
 
-    # counts has one row per group -- broadcast unless the caller's
-    # group cardinality is corpus-like, in which case Catalyst's size
-    # estimate demotes the hint is NOT true for hard hints; so gate on
-    # nothing and let it shuffle-join: the join key is the group key
-    # the window shuffles on anyway, and AQE picks broadcast when the
-    # aggregate output is small.
-    survivors = base.join(counts, on=group_col, how="inner").where(
+    # counts carries no broadcast hint: it is one row per group, but
+    # group cardinality is the caller's data, not bounded config, and
+    # a hard hint never demotes (the r5 size-gate rule). The join key
+    # is the group key the window shuffles on anyway, and AQE picks
+    # broadcast when the aggregate output IS small.
+    survivors = base.join(counts, on="_samp_grp", how="inner").where(
         F.col("_samp_num") < F.col("_samp_cut")
     )
     # survivors is consumed by BOTH the guard aggregate and the window
@@ -205,26 +219,28 @@ def reservoir_per_group(
 
     # exactness guard: a group is "good" iff the prefilter kept at
     # least min(k, n) rows -- then the k hash-smallest are inside.
-    surv_counts = survivors.groupBy(group_col).agg(
+    surv_counts = survivors.groupBy("_samp_grp").agg(
         F.count(F.lit(1)).alias("_samp_sn"), F.first("_samp_n").alias("_samp_n2")
     )
     good = surv_counts.where(
         F.col("_samp_sn") >= F.least(F.lit(k), F.col("_samp_n2"))
-    ).select(group_col)
+    ).select("_samp_grp")
     bad = surv_counts.where(
         F.col("_samp_sn") < F.least(F.lit(k), F.col("_samp_n2"))
-    ).select(group_col)
+    ).select("_samp_grp")
     # groups the prefilter emptied out entirely never appear in
     # surv_counts at all -- they are bad too.
-    emptied = counts.join(surv_counts, on=group_col, how="left_anti").select(group_col)
+    emptied = counts.join(surv_counts, on="_samp_grp", how="left_anti").select(
+        "_samp_grp"
+    )
     bad = bad.unionByName(emptied)
 
     # no broadcast hints on good/bad: they are data-derived (one row
     # per group) and group cardinality is the caller's data, not
     # bounded config -- a hard hint never demotes (r5 size-gate rule).
     # AQE converts these semi joins to broadcast when they ARE small.
-    picked_good = windowed(survivors.join(good, on=group_col, how="left_semi"))
-    picked_bad = windowed(base.join(bad, on=group_col, how="left_semi"))
+    picked_good = windowed(survivors.join(good, on="_samp_grp", how="left_semi"))
+    picked_bad = windowed(base.join(bad, on="_samp_grp", how="left_semi"))
 
     out_cols = [c for c in df.columns]
     return (

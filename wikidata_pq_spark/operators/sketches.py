@@ -57,29 +57,50 @@ def heavy_hitters(
     key_col: str,
     capacity: int = 4096,
     min_share: float = 0.001,
+    require_complete: bool = True,
     truncate_lineage: bool = True,
 ) -> DataFrame:
     """Keys whose frequency MAY exceed ``min_share`` of the rows, with
     per-key estimate + global undercount bound.
 
-    Shape: one ``mapInPandas`` pass emits <= capacity (key, est) rows
-    plus one decrement-total row per partition; the merge is a single
-    groupBy over that bounded partial set. The total-row-count and
-    total-decrement scalars ride a broadcast 1-row frame (never a
-    driver collect). Guarantees (pytest-pinned):
+    Shape: ONE ``mapInPandas`` pass emits <= capacity (key, est) rows
+    plus one marker row per partition carrying that partition's
+    decrement total and row count; the merge is a single groupBy over
+    that bounded partial set, and the global (max_undercount, n_total)
+    scalars come from the same partials as a broadcast 1-row frame --
+    no second scan of the input, never a driver collect.
+    Guarantees (pytest-pinned):
 
     - est <= true_count <= est + max_undercount  for emitted keys;
     - COMPLETE at the threshold: every key with
-      true_count >= min_share * n_total is in the result (its est is
-      >= true - max_undercount, so its upper bound clears the filter);
+      true_count >= min_share * n_total is in the result. A key ABSENT
+      from every partial has true_count <= max_undercount, and
+      max_undercount <= n_total/(capacity+1), so this guarantee is
+      STATIC only when capacity+1 >= 1/min_share -- validated at call
+      time (a smaller capacity is refused unless
+      ``require_complete=False``, in which case completeness holds iff
+      the OBSERVED max_undercount < min_share*n_total, checkable from
+      the output columns);
     - capacity >= vocabulary  =>  est == true_count exactly and
       max_undercount == 0.
 
-    Null keys are excluded (they are the partial frames' decrement
-    marker). Per-batch work is ``value_counts`` (C speed) + a
-    vocabulary-sized dict merge -- per unique key, never per row (the
-    simhash lesson).
+    ``min_share=0.0`` disables the threshold filter (keep everything
+    the sketch retained) and makes no completeness claim, so it skips
+    the capacity validation.
+
+    Null keys are excluded (they are the partial frames' marker).
+    Per-batch work is ``value_counts`` (C speed) + a vocabulary-sized
+    dict merge -- per unique key, never per row (the simhash lesson).
     """
+    if require_complete and min_share > 0 and capacity + 1 < 1.0 / min_share:
+        raise ValueError(
+            f"capacity={capacity} cannot guarantee completeness at "
+            f"min_share={min_share}: needs capacity+1 >= 1/min_share = "
+            f"{1.0 / min_share:.0f}. Raise capacity or pass "
+            "require_complete=False to accept data-conditional "
+            "completeness (holds iff the returned max_undercount < "
+            "min_share * n_total)."
+        )
     from . import dedup
 
     keyed = dedup.ensure_parallelism(
@@ -91,7 +112,9 @@ def heavy_hitters(
     def mg(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
         dec = 0
+        nrows = 0
         for pdf in pdfs:
+            nrows += len(pdf)
             vc = pdf["key"].value_counts()
             counters.update(
                 {k: int(v) for k, v in zip(vc.index, vc.to_numpy())}
@@ -103,21 +126,21 @@ def heavy_hitters(
                 "key": keys + [None],
                 "est": [counters[k] for k in keys] + [0],
                 "dec": [0] * len(keys) + [dec],
+                "nr": [0] * len(keys) + [nrows],
             }
         )
 
-    parts = keyed.mapInPandas(mg, schema="key string, est long, dec long")
-    # the partials feed the key merge AND the decrement aggregate;
+    parts = keyed.mapInPandas(mg, schema="key string, est long, dec long, nr long")
+    # the partials feed the key merge AND the scalar aggregate;
     # materialize once (bounded: <= n_parts * (capacity+1) rows).
     # truncate_lineage=False exists for the plan audit only.
     if truncate_lineage:
         parts = parts.localCheckpoint(eager=False)
 
-    totals = parts.agg(F.sum("dec").alias("max_undercount"))
-    n_total = df.where(F.col(key_col).isNotNull()).groupBy().agg(
-        F.count(F.lit(1)).alias("n_total")
+    scalars = parts.agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("max_undercount"),
+        F.coalesce(F.sum("nr"), F.lit(0)).alias("n_total"),
     )
-    scalars = totals.crossJoin(n_total)  # 1 row x 1 row
 
     merged = (
         parts.where(F.col("key").isNotNull())
@@ -187,7 +210,11 @@ def approx_quantile_check(
     ranks = joined.groupBy(group_col, "q", "approx_val").agg(
         F.sum((F.col(value_col) < F.col("approx_val")).cast("long")).alias("r_low"),
         F.sum((F.col(value_col) <= F.col("approx_val")).cast("long")).alias("r_high"),
-        F.count(F.lit(1)).alias("n"),
+        # count the VALUE column, not rows: percentile_approx ignores
+        # NULL values, so the rank target q*n must too -- count(*)
+        # over a null-bearing column would test the sketch against a
+        # rank it never promised
+        F.count(value_col).alias("n"),
     )
     band = F.col("n") / F.lit(accuracy) + F.lit(slack)
     target = F.col("q") * F.col("n")

@@ -277,7 +277,7 @@ def _sk_heavy_hitters_raw(spark, sf):
         F.col("key") != ""
     )
     return sketches.heavy_hitters(
-        toks, "key", capacity=64, min_share=0.005, truncate_lineage=False
+        toks, "key", capacity=256, min_share=0.005, truncate_lineage=False
     )
 
 
