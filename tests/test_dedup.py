@@ -439,3 +439,81 @@ def test_broadcast_cache_keeps_live_concurrent_session(spark):
         assert ("other-dead", (1,), "y") not in keys
     finally:
         similarity._BROADCAST_CACHE.pop(("other-live", (1,), "x"), None)
+
+
+def test_ensure_parallelism_repartitions_small_scan(spark, tmp_path):
+    """A one-file parquet scan below the slot count gets round-robin
+    repartitioned to defaultParallelism; the decision is memoized per
+    (applicationId, semanticHash) so the second call never re-plans."""
+    p = str(tmp_path / "small.parquet")
+    spark.range(100).coalesce(1).selectExpr(
+        "id", "cast(id as string) AS text"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    dedup._PROBE_CACHE.clear()
+    out = dedup.ensure_parallelism(df)
+    assert out.rdd.getNumPartitions() == target
+    key = (spark.sparkContext.applicationId, df.semanticHash())
+    assert dedup._PROBE_CACHE[key] < target
+    # memo hit: a poisoned plan probe would blow up if consulted again
+    orig = dedup._physical_plan
+    dedup._physical_plan = lambda _df: (_ for _ in ()).throw(AssertionError("re-probed"))
+    try:
+        out2 = dedup.ensure_parallelism(spark.read.parquet(p))
+        assert out2.rdd.getNumPartitions() == target
+    finally:
+        dedup._physical_plan = orig
+
+
+def test_ensure_parallelism_post_shuffle_frame_untouched(spark, docs):
+    """A frame downstream of an exchange is returned AS-IS (the plan
+    fast path fires; no RDD conversion, no repartition node)."""
+    dedup._PROBE_CACHE.clear()
+    grouped = docs.groupBy("lang").count()
+    out = dedup.ensure_parallelism(grouped)
+    assert out is grouped
+
+
+def test_ensure_parallelism_leaves_aqe_conf_alone(spark, docs, tmp_path):
+    """Neither the plan fast path nor the stage-free lazy-RDD path
+    touches spark.sql.adaptive.enabled (the r6 session-global toggle
+    now survives only for broadcast-shaped cold probes)."""
+    p = str(tmp_path / "aqe.parquet")
+    docs.write.parquet(p)
+    dedup._PROBE_CACHE.clear()
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    calls = []
+    orig_set = spark.conf.set
+
+    def spy_set(k, v):
+        calls.append((k, str(v)))
+        orig_set(k, v)
+
+    spark.conf.set = spy_set
+    try:
+        dedup.ensure_parallelism(spark.read.parquet(p))          # scan-only
+        dedup.ensure_parallelism(docs.groupBy("lang").count())   # post-shuffle
+    finally:
+        spark.conf.set = orig_set
+    assert not [c for c in calls if c[0] == "spark.sql.adaptive.enabled"]
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == prev
+
+
+def test_ensure_parallelism_probe_cache_bounded(spark):
+    """The memo is LRU-bounded so unbounded distinct plans can't grow
+    driver memory."""
+    dedup._PROBE_CACHE.clear()
+    try:
+        for i in range(dedup._PROBE_CACHE_MAX + 10):
+            dedup._PROBE_CACHE[("app", i)] = 1
+            dedup._PROBE_CACHE.move_to_end(("app", i))
+            while len(dedup._PROBE_CACHE) > dedup._PROBE_CACHE_MAX:
+                dedup._PROBE_CACHE.popitem(last=False)
+        assert len(dedup._PROBE_CACHE) == dedup._PROBE_CACHE_MAX
+        # a real call still lands after the synthetic fill
+        df = spark.range(10).selectExpr("id", "'x' AS text")
+        dedup.ensure_parallelism(df)
+        assert len(dedup._PROBE_CACHE) <= dedup._PROBE_CACHE_MAX
+    finally:
+        dedup._PROBE_CACHE.clear()

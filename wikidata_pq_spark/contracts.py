@@ -1486,13 +1486,10 @@ QUERIES = {
     #    PARTITION stage, and graph queries (driver window 1-9)
     "kg_extract_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
-    "kg_current_beliefs": q_current_beliefs,
     "flatten_claims_fourbranch": q_flatten_claims,
     "flatten_labels_map": q_flatten_labels,
     "partition_stage_audit": q_partition_stage_audit,
     "cc_components": q_connected_components,
-    "graph_degrees": q_graph_degrees,
-    "graph_khop": q_graph_khop,
     # -- relational operator families (SURVEY §2.2-2.8)
     "a1_pricing_summary": q_pricing_summary,
     "a5_partition_audit": q_partition_audit,
@@ -1500,10 +1497,8 @@ QUERIES = {
     "a8_null_audit": q_null_audit,
     "w1_topk_per_group": q_topk_per_group,
     "j1_rowid_token_join": q_rowid_token_join,
-    "j5_presence_flags": q_presence_flags,
     "u1_diagonal_concat": q_diagonal_concat,
     "p6_regex_extract": q_regex_extract,
-    "n8_json_map_explode": q_json_map_explode,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
     "q17_small_quantity": q17_small_quantity,
@@ -1514,19 +1509,15 @@ QUERIES = {
     # -- training-data-pipeline operators
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_near_dup": q_dedup_near_dup,
     "kg_pagerank": q_kg_pagerank,
-    "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_ivf": q_ann_ivf,
-    "kg_ppr": q_kg_ppr,
     "text_quality_score": q_quality,
     "mm_decode_features": q_media_features,
     # -- round-3 operators, in-window since round 4
     "dedup_chunk_spans": q_chunk_dup_spans,
     "x_decontaminate_ngrams": q_decontaminate_ngrams,
-    "text_repetition_ratio": q_repetition_ratio,
     "kg_fuzzy_link": q_fuzzy_link,
     "kg_triple_support": q_triple_support,
     "kg_comention_edges": q_comention_edges,
@@ -1536,7 +1527,29 @@ QUERIES = {
     "a_exact_quantiles": q_exact_quantiles,
     "x_pack_chunks": q_pack_chunks,
     "x_redact_pii": q_redact_pii,
-    "x_curate_corpus": q_curate_corpus,
+    # -- r7 rotation: the ten cells born after r6's second rotation get
+    #    their first driver rows (VERDICT r6 item 1 -- rotation COMPLETE
+    #    again: every contract cell has now had a driver seat). Retired
+    #    to EXTRA, all multi-round driver-green with in-window family
+    #    siblings: graph_degrees/graph_khop (graph keeps cc + pagerank +
+    #    the three new graph cells), kg_ppr (multi_seed_ppr is the
+    #    superset), kg_current_beliefs (beliefs keep kg_conflicts +
+    #    as_of), embedding_near_pairs (embeddings keep ann_topk/ivf/
+    #    multiprobe + dedup_embedding in EXTRA), j5 (joins keep
+    #    j1/j_salted/q3/q5/q17), n8 (nested keeps both flatten cells),
+    #    dedup_simhash (dedup keeps exact/minhash/near_dup/chunk/
+    #    decontaminate), text_repetition_ratio (text keeps
+    #    quality_score), x_curate_corpus (curation keeps pack + redact).
+    "samp_stratified": q_samp_stratified,
+    "samp_reservoir": q_samp_reservoir,
+    "sk_heavy_hitters": q_sk_heavy_hitters,
+    "sk_approx_distinct": q_sk_approx_distinct,
+    "sk_approx_quantiles": q_sk_approx_quantiles,
+    "graph_lpa": q_graph_lpa,
+    "graph_triangles": q_graph_triangles,
+    "kg_beliefs_asof": q_beliefs_asof,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "kg_ppr_multiseed": q_kg_ppr_multiseed,
 }
 
 # Retired driver-window cells: each is a sibling of an in-window query
@@ -1592,24 +1605,22 @@ EXTRA_QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "range_join_within": q_range_join_pairs,
     "j_semi_exists": q_semi_join,
-    # -- r6 new operator: one-pass multi-seed PPR
-    "kg_ppr_multiseed": q_kg_ppr_multiseed,
-    # -- r6 new operator: multi-probe LSH (probe expansion re-derived
-    #    in the oracle SQL, not exported)
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    # -- r6 new operators: belief time travel + degree-ordered
-    #    triangle enumeration
-    "kg_beliefs_asof": q_beliefs_asof,
-    "graph_triangles": q_graph_triangles,
-    # -- r6 new operator family: deterministic content-hash sampling
-    "samp_stratified": q_samp_stratified,
-    "samp_reservoir": q_samp_reservoir,
-    # -- r6 new operator family: bounded-state frequency sketches
-    "sk_heavy_hitters": q_sk_heavy_hitters,
-    "sk_approx_distinct": q_sk_approx_distinct,
-    "sk_approx_quantiles": q_sk_approx_quantiles,
-    # -- r6 new operator: deterministic LPA communities
-    "graph_lpa": q_graph_lpa,
+    # -- r7 rotation: ten multi-round driver-green siblings retired so
+    #    the ten late-r6 cells (sampling, sketches, LPA, triangles,
+    #    time travel, multi-probe, multi-seed PPR) get their first
+    #    driver rows. Each retiree's family keeps in-window seats (see
+    #    the QUERIES-side comment); all ten keep the identical local
+    #    gate here + pytest.
+    "graph_degrees": q_graph_degrees,
+    "graph_khop": q_graph_khop,
+    "kg_ppr": q_kg_ppr,
+    "kg_current_beliefs": q_current_beliefs,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "j5_presence_flags": q_presence_flags,
+    "n8_json_map_explode": q_json_map_explode,
+    "dedup_simhash": q_dedup_simhash,
+    "text_repetition_ratio": q_repetition_ratio,
+    "x_curate_corpus": q_curate_corpus,
 }
 
 # --------------------------------------------------------------------------
