@@ -41,7 +41,19 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "text_quality_score",
     "kg_triples",
+    # r7 additions (VERDICT r6 item 4): the r6 operator families join
+    # the trend line. The first 12 cells above are FROZEN as the
+    # cross-round comparison set and also reported as
+    # legacy12_total_sec so r07+ totals stay comparable with r01-r06.
+    "sk_heavy_hitters",
+    "samp_reservoir",
+    "graph_lpa",
+    "graph_triangles",
 ]
+
+# cells present in every bench since r01-r05: their sum is the
+# cross-round comparable total
+LEGACY_12 = BENCH_QUERIES[:12]
 
 
 def main() -> None:
@@ -116,6 +128,8 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "median_total_sec": round(sum(medians.values()), 3),
+        "legacy12_total_sec": round(sum(timings[n] for n in LEGACY_12), 3),
+        "legacy12_median_total_sec": round(sum(medians[n] for n in LEGACY_12), 3),
         "sf": sf,
         "cpus": cpus,
         "reps": reps,

@@ -717,12 +717,12 @@ def test_uncommitted_generation_invisible_and_collected(spark, tmp_path):
     assert inc._epochs_on_disk(out) == [-1]
 
 
-def test_lost_manifest_after_committed_compaction_fails_loudly(spark, tmp_path):
-    """Manifest-loss distinguishability (r6 second review): after a
-    COMMITTED compaction GC'd the retired epochs, the manifest is the
-    only witness the negative generation is real data. Losing it must
-    raise, not silently read empty (and must never let the next
-    compaction GC the only copy)."""
+def test_lost_manifest_recovers_from_bak_then_fails_loudly(spark, tmp_path):
+    """Manifest-loss ladder (r7, ADVICE): losing the PRIMARY manifest
+    after a committed compaction self-heals from the .bak copy written
+    before the commit rename (reads stay correct, primary restored);
+    losing BOTH copies with no streaming epochs raises loudly, and the
+    generation data is never GC'd."""
     import os
 
     import pandas as pd
@@ -738,9 +738,165 @@ def test_lost_manifest_after_committed_compaction_fails_loudly(spark, tmp_path):
     inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
     inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
     inc.compact_triple_support(spark, out, n_buckets=2)
+
+    # rung 1: primary lost, bak survives -> reads recover + self-heal
     os.remove(os.path.join(out, "_compaction.json"))
+    assert inc.live_epochs(out) == [-1]
+    assert os.path.isfile(os.path.join(out, "_compaction.json"))  # healed
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 2
+
+    # rung 2: BOTH copies lost, no streaming epochs -> loud refusal,
+    # data untouched
+    os.remove(os.path.join(out, "_compaction.json"))
+    os.remove(os.path.join(out, "_compaction.json.bak"))
     with _pt.raises(RuntimeError, match="manifest was lost"):
         inc.read_triple_support(spark, out).count()
     with _pt.raises(RuntimeError, match="manifest was lost"):
         inc.compact_triple_support(spark, out, n_buckets=2)
     assert os.path.isdir(os.path.join(out, "epoch=-1"))  # data survives
+
+
+def test_lost_both_manifests_with_newer_epochs_quarantines(spark, tmp_path):
+    """The ambiguous shape from the r6 ADVICE: both manifest copies
+    lost AFTER a committed compaction, with newer streaming epochs on
+    disk. Reads warn and serve the streaming epochs (indistinguishable
+    from an uncommitted crash); the next compaction must QUARANTINE the
+    orphan generation -- rename, not rmtree -- so a wrong diagnosis is
+    reversible, and purge_quarantine reclaims the disk explicitly."""
+    import os
+    import warnings
+
+    import pandas as pd
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    inc.compact_triple_support(spark, out, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
+    os.remove(os.path.join(out, "_compaction.json"))
+    os.remove(os.path.join(out, "_compaction.json.bak"))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert inc.live_epochs(out) == [2]
+    assert any("quarantine" in str(x.message) for x in w)
+
+    summary = inc.compact_triple_support(spark, out, n_buckets=2)
+    assert summary["compacted"] == 0  # one live epoch -> no reduction
+    assert -1 in summary["removed_epochs"]
+    qdir = os.path.join(inc._quarantine_dir(out), "epoch=-1")
+    assert os.path.isdir(qdir)  # renamed, NOT destroyed
+    assert not os.path.isdir(os.path.join(out, "epoch=-1"))
+    # the quarantine lives OUTSIDE the table root, invisible to reads
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 1
+    assert inc.purge_quarantine(out) == ["epoch=-1"]
+    assert not os.path.isdir(qdir)
+
+
+def test_merge_interleaved_inside_compaction_commit_window(spark, tmp_path):
+    """Concurrent-writer pin (r7, VERDICT item 6): a streaming merge
+    landing BETWEEN compaction's parquet write and its manifest rename
+    is safe -- the new epoch's id is above the watermark the compactor
+    records, so it stays live under the new manifest and the final
+    rollup equals the batch reference over all epochs."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    epochs = [
+        [("Q1", "p", "Q2", "c1", 1), ("Q3", "q", "Q4", "c2", 2)],
+        [("Q1", "p", "Q2", "c3", 1)],
+        [("Q5", "r", "Q6", "c4", 5)],
+        [("Q1", "p", "Q2", "c5", 2), ("Q5", "r", "Q6", "c6", 1)],
+    ]
+    dfs = [spark.createDataFrame(pd.DataFrame(e, columns=cols)) for e in epochs]
+    out = str(tmp_path / "support")
+    for i in range(3):
+        inc.merge_triple_support(dfs[i], out, epoch_id=i, n_buckets=2)
+
+    # fire the interleaved merge inside the commit window: os.replace
+    # is first called for the .bak copy, which happens strictly AFTER
+    # the generation's parquet write completes and strictly BEFORE the
+    # primary-manifest rename (the commit point)
+    import os as _os
+
+    orig_replace = _os.replace
+    fired = []
+
+    def hook(src, dst):
+        if str(dst).endswith("_compaction.json.bak") and not fired:
+            fired.append(1)
+            inc.merge_triple_support(dfs[3], out, epoch_id=3, n_buckets=2)
+        return orig_replace(src, dst)
+
+    _os.replace = hook
+    try:
+        summary = inc.compact_triple_support(spark, out, n_buckets=2)
+    finally:
+        _os.replace = orig_replace
+    assert fired and summary["compacted"] == 3
+    # epoch 3 landed mid-commit: live alongside the generation
+    assert inc.live_epochs(out) == [-1, 3]
+
+    got = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    full = graph.triple_support(allb).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert got.index.equals(full.index)
+    assert (got["n_support"] == full["n_support"]).all()
+    assert (got["first_conv"] == full["first_conv"]).all()
+    # and the NEXT compaction folds the straggler in cleanly
+    s2 = inc.compact_triple_support(spark, out, n_buckets=2)
+    assert s2["compacted"] == 2
+    final = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert (final["n_support"] == full["n_support"]).all()
+
+
+def test_concurrent_compaction_refused_by_lease(spark, tmp_path):
+    """Two compactors would pick the same generation id and interleave
+    writes into the same partition dir: the O_EXCL lease makes the
+    second REFUSE loudly, and a crashed compactor's stale lease keeps
+    refusing until an operator removes it (deliberate: breaking a lease
+    requires confirming the holder is dead)."""
+    import os
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+
+    # simulate a live/crashed holder
+    with open(inc._lock_path(out), "w") as fh:
+        fh.write("99999")
+    with _pt.raises(RuntimeError, match="compaction already in progress"):
+        inc.compact_triple_support(spark, out, n_buckets=2)
+    assert inc.live_epochs(out) == [0, 1]  # store untouched
+
+    os.remove(inc._lock_path(out))
+    summary = inc.compact_triple_support(spark, out, n_buckets=2)
+    assert summary["compacted"] == 2
+    assert not os.path.exists(inc._lock_path(out))  # lease released
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 2

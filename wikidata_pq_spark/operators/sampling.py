@@ -12,10 +12,14 @@ string), compared as a lowercase-hex PREFIX against a literal
 threshold: ``fraction f`` keeps rows whose first ``hex_chars`` hex
 characters are < ``floor(f * 16**hex_chars)`` rendered in hex. Both
 Spark and DuckDB produce identical md5 hex, so the oracle is an exact
-replay, and the comparison is a plain string predicate Catalyst can
-push into the scan. Granularity at the default 6 hex chars is
-1/16.7M -- fraction error < 6e-8, stated in the docstrings rather
-than hidden.
+replay. The predicate is row-local and evaluated in the stage that
+reads the scan -- it is NOT a Parquet row-group PushedFilter (a
+computed hash has no column statistics to prune against); what the
+plan guarantees instead is that the Filter sits directly above the
+scan with no exchange anywhere (pinned by the ``samp_hash`` plan
+golden), so sampling is one single-pass, shuffle-free map stage at
+any scale. Granularity at the default 6 hex chars is 1/16.7M --
+fraction error < 6e-8, stated in the docstrings rather than hidden.
 
 Extends the reference's pipeline (it has no sampling stage; its
 closest analogue is the driver-side chunk slicing in
@@ -76,10 +80,15 @@ def hash_sample(
 ) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows by key hash.
 
-    One string comparison per row, no shuffle, no state: at 100 TB
-    this is a pushable filter over the scan. Appending new rows to the
-    corpus never changes membership of existing rows (contrast
-    ``df.sample``: seed-and-partition dependent).
+    One md5 + one string comparison per row, no shuffle, no state: the
+    Filter runs in the scan's own stage (directly above it, zero
+    exchanges -- the ``samp_hash`` plan golden pins scan->filter
+    adjacency), so at 100 TB this is a single map-only pass. It is a
+    post-scan filter, not a row-group PushedFilter: Parquet cannot
+    prune pages on a hash computed at read time, so every row is read
+    once and tested once. Appending new rows to the corpus never
+    changes membership of existing rows (contrast ``df.sample``:
+    seed-and-partition dependent).
     """
     cutoff = fraction_to_hex_threshold(fraction)
     return df.where(

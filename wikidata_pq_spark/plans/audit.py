@@ -141,6 +141,20 @@ CHECKS = {
         [r"Filter", r"Window"],
         [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # hash sampling (r7): the md5 cutoff is a row-local Filter in the
+    # scan's own stage -- the WHOLE plan is exchange-free, python-free,
+    # agg-free (scan -> filter -> project and nothing else), and the
+    # scan reads only the 2 output columns. This is the corrected
+    # contract for the r6 "pushable filter" overclaim: NOT a row-group
+    # PushedFilter (no stats on a computed hash), but a guaranteed
+    # single-pass map stage.
+    "samp_hash": (
+        [r"Filter", r"Scan parquet", r"ReadSchema: struct<doc_id:bigint,lang:string>"],
+        [
+            r"Exchange", r"CartesianProduct", r"MapInPandas",
+            r"BatchEvalPython", r"Window", r"HashAggregate", r"Sort\b",
+        ],
+    ),
     # stratified sampling (r6): cutoff dict is a BROADCAST join, the
     # corpus side never shuffles, scan reads only the 3 output columns
     "samp_stratified": (
@@ -245,6 +259,18 @@ def _triangles_raw(spark, sf):
     return graph.triangles(chain.union(skip), truncate_lineage=False)
 
 
+def _samp_hash_raw(spark, sf):
+    """Raw hash_sample over the documents scan: the plan must be a
+    single exchange-free map stage (scan -> filter -> project)."""
+    from .. import contracts
+    from ..operators import sampling
+
+    docs = contracts.load(spark, sf, "documents")
+    return sampling.hash_sample(docs, 0.25, key_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def _samp_reservoir_raw(spark, sf):
     """reservoir_per_group truncates lineage on the survivor frame
     (two consumers); audit the untruncated prefilter plan so the
@@ -304,6 +330,7 @@ BUILDERS = {
     "graph_khop": _graph_khop_raw,
     "kg_comention_edges": _comention_raw,
     "graph_triangles": _triangles_raw,
+    "samp_hash": _samp_hash_raw,
     "samp_reservoir": _samp_reservoir_raw,
     "sk_heavy_hitters": _sk_heavy_hitters_raw,
     "graph_lpa": _graph_lpa_raw,

@@ -457,15 +457,40 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_compaction.json")
 
 
+def _manifest_bak_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "_compaction.json.bak")
+
+
 def _read_manifest(out_dir: str) -> dict | None:
+    """The committed compaction manifest, falling back to the backup
+    copy (r7, ADVICE): the commit protocol writes ``.bak`` atomically
+    BEFORE the primary rename, so losing the primary (a copy tool that
+    skips ``_``-prefixed files, a fat-fingered rm) no longer silently
+    drops every compacted generation from reads -- the bak names the
+    same live set. When the fallback fires the primary is self-healed
+    (atomic tmp+replace). A bak without a primary can also mean a crash
+    BETWEEN the two writes; treating that generation as committed is
+    still correct because its parquet data is complete by write order
+    and its reduction equals the retired epochs it replaces."""
     import json
     import os
 
     p = _manifest_path(out_dir)
-    if not os.path.isfile(p):
+    if os.path.isfile(p):
+        with open(p) as fh:
+            return json.load(fh)
+    bak = _manifest_bak_path(out_dir)
+    if not os.path.isfile(bak):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    with open(bak) as fh:
+        m = json.load(fh)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, p)
+    return m
 
 
 def _epochs_on_disk(out_dir: str) -> list[int]:
@@ -498,6 +523,24 @@ def live_epochs(out_dir: str) -> list[int]:
     if m is None:
         on_disk = _epochs_on_disk(out_dir)
         live = [e for e in on_disk if e >= 0]
+        if live and any(e < 0 for e in on_disk):
+            # negatives + streaming epochs + NO manifest and NO bak:
+            # with the r7 protocol (bak written before the commit
+            # rename) this shape is an uncommitted crash, whose
+            # negatives are garbage -- but say so out loud, and the
+            # next _compact QUARANTINES them (rename, not rmtree) so
+            # even a wrong diagnosis on a pre-r7 store that lost both
+            # manifest copies stays recoverable.
+            import warnings
+
+            warnings.warn(
+                f"store at {out_dir}: negative generation(s) "
+                f"{sorted(e for e in on_disk if e < 0)} with no "
+                "_compaction.json (or .bak) -- treating as an "
+                "uncommitted compaction crash and reading streaming "
+                "epochs only; the next compaction will quarantine them",
+                stacklevel=2,
+            )
         if not live and any(e < 0 for e in on_disk):
             # negative generations but NO manifest and NO streaming
             # epochs: after a COMMITTED compaction GC'd the retired
@@ -510,8 +553,8 @@ def live_epochs(out_dir: str) -> list[int]:
             raise RuntimeError(
                 f"store at {out_dir} has compacted generation(s) "
                 f"{sorted(e for e in on_disk if e < 0)} but no "
-                "_compaction.json and no streaming epochs: the "
-                "manifest was lost AFTER a committed compaction. "
+                "_compaction.json (or .bak) and no streaming epochs: "
+                "the manifest was lost AFTER a committed compaction. "
                 "Restore the manifest (live = the newest generation) "
                 "before reading or compacting."
             )
@@ -532,6 +575,50 @@ def _apply_live_filter(raw: DataFrame, out_dir: str) -> DataFrame:
     return raw.filter(F.col("epoch").isin(live_epochs(out_dir)))
 
 
+def _lock_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "_compact.lock")
+
+
+def _quarantine_dir(out_dir: str) -> str:
+    """Sibling of the store, NOT inside it: Spark's partition discovery
+    walks every subdirectory of the store and would read a nested
+    ``foo=bar``-shaped name as a conflicting partition column, so the
+    quarantined generation moves fully outside the table root."""
+    import os
+
+    norm = os.path.normpath(out_dir)
+    return os.path.join(
+        os.path.dirname(norm), os.path.basename(norm) + "__quarantine"
+    )
+
+
+def purge_quarantine(out_dir: str) -> list[str]:
+    """Delete quarantined generation dirs (``<store>__quarantine/``)
+    after a human has confirmed the store reads correctly. Quarantine
+    is compaction's answer to 'this negative generation is referenced
+    by no manifest': instead of destroying what MIGHT be the sole copy
+    of compacted history (pre-r7 stores that lost both manifest
+    copies), GC renames it out of the table root and leaves reclaiming
+    the disk to this explicit call."""
+    import os
+    import shutil
+
+    qroot = _quarantine_dir(out_dir)
+    gone = []
+    if not os.path.isdir(qroot):
+        return gone
+    for d in sorted(os.listdir(qroot)):
+        shutil.rmtree(os.path.join(qroot, d), ignore_errors=True)
+        gone.append(d)
+    try:
+        os.rmdir(qroot)
+    except OSError:
+        pass
+    return gone
+
+
 def _compact(
     spark: SparkSession,
     out_dir: str,
@@ -543,81 +630,148 @@ def _compact(
     manifest rename, then GC stale dirs. ``reducer`` maps the raw
     live-partial frame to the merged partial (same schema minus
     epoch/bucket, which this engine re-derives). Returns a summary dict
-    (generation, epochs compacted, rows written)."""
+    (generation, epochs compacted, rows written).
+
+    Concurrency contract (r7, VERDICT item 6): compaction is
+    SINGLE-COMPACTOR, enforced by an O_EXCL lease file -- two
+    concurrent ``_compact`` calls would pick the same generation id and
+    interleave writes into the same partition dir, so the second call
+    REFUSES loudly instead. A concurrent streaming MERGE is safe at any
+    interleaving point and needs no lock: a new epoch landing between
+    the parquet write and the manifest rename has id > every id the
+    compactor saw (the merge-side watermark guard refuses ids at or
+    below ``compacted_through``), so it stays live under the new
+    manifest and reduces together with the generation -- pinned by
+    ``test_merge_interleaved_inside_compaction_commit_window``. A crash
+    while holding the lease leaves the file behind; the next compactor
+    refuses until it is removed, which is deliberate (the operator must
+    confirm the dead compactor actually died before breaking its
+    lease)."""
     import json
     import os
     import shutil
 
     from ..sources import tableio
 
-    prev = _read_manifest(out_dir)
-    live = live_epochs(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        lock_fd = os.open(
+            _lock_path(out_dir), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        raise RuntimeError(
+            f"compaction already in progress for {out_dir} (or a "
+            f"crashed compactor left {_lock_path(out_dir)}); verify no "
+            "compactor is alive, then remove the lock file to proceed"
+        )
+    try:
+        os.write(lock_fd, str(os.getpid()).encode())
+    finally:
+        os.close(lock_fd)
 
-    def _gc_stale(keep: set) -> list:
-        """Delete every on-disk epoch dir outside ``keep``: uncommitted
-        negative generations (a compaction that crashed before its
-        manifest rename -- invisible to reads, but disk bloat and an id
-        collision for the next attempt; wholesale delete also covers a
-        stale-bucket layout from a different n_buckets), plus retired
-        non-negative epochs at or below the manifest watermark."""
-        cut = prev["compacted_through"] if prev is not None else -1
-        gone = []
+    try:
+        prev = _read_manifest(out_dir)
+        live = live_epochs(out_dir)
+
+        def _gc_stale(keep: set) -> list:
+            """Retire every on-disk epoch dir outside ``keep``. Retired
+            NON-NEGATIVE epochs at or below the manifest watermark are
+            deleted (their rows are provably inside the committed
+            generation). Unreferenced NEGATIVE generations are
+            QUARANTINED instead (r7, ADVICE): under the current
+            protocol they are uncommitted crash garbage, but on a
+            pre-r7 store that lost both manifest copies they could be
+            the sole copy of compacted history -- a rename is loud,
+            reversible, and invisible to Spark's file index either
+            way."""
+            cut = prev["compacted_through"] if prev is not None else -1
+            gone = []
+            for e in _epochs_on_disk(out_dir):
+                if e in keep:
+                    continue
+                src = os.path.join(out_dir, f"epoch={e}")
+                if e < 0:
+                    qroot = _quarantine_dir(out_dir)
+                    os.makedirs(qroot, exist_ok=True)
+                    dst = os.path.join(qroot, f"epoch={e}")
+                    n = 0
+                    while os.path.exists(dst):
+                        n += 1
+                        dst = os.path.join(qroot, f"epoch={e}.{n}")
+                    os.rename(src, dst)
+                    gone.append(e)
+                elif e <= cut:
+                    shutil.rmtree(src, ignore_errors=True)
+                    gone.append(e)
+            return gone
+
+        if len(live) <= 1:
+            # no reduction to do, but a crashed previous GC (or a
+            # crashed first compaction's uncommitted generation) may
+            # have left stale dirs -- re-collect them (r6 review
+            # finding: the early return used to skip this, stranding
+            # them forever)
+            return {
+                "compacted": 0,
+                "live": live,
+                "removed_epochs": _gc_stale(set(live)),
+            }
+        gen = (min(live + [0])) - 1  # next free negative id
+        pre_removed = _gc_stale(set(live))
+        raw = spark.read.parquet(out_dir).filter(F.col("epoch").isin(live))
+        merged = (
+            reducer(raw)
+            .withColumn("bucket", tableio.bucket_column("subj", n_buckets))
+            .withColumn("epoch", F.lit(int(gen)))
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "bucket")
+            .parquet(out_dir)
+        )
+        compacted_through = max(live)
+        manifest = {
+            "live": [gen],
+            "compacted_through": compacted_through,
+            "generation": gen,
+        }
+        # backup FIRST (r7, ADVICE): once the parquet data is complete,
+        # write the recovery copy, then commit via the primary rename.
+        # Losing the primary afterwards self-heals from the bak; a
+        # crash between the two writes reads as committed via the bak
+        # fallback, which is correct because the generation's data is
+        # already complete and equal to the epochs it retires.
+        for path in (_manifest_bak_path(out_dir), _manifest_path(out_dir)):
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, path)  # primary replace = the commit point
+        # post-commit GC: every on-disk epoch <= compacted_through that
+        # is not the new generation is stale (includes replayed dirs,
+        # the RETIRED previous generation -- provably redundant now
+        # that the committed one contains its reduction -- and any
+        # orphans from a previous crashed GC)
+        removed = list(pre_removed)
         for e in _epochs_on_disk(out_dir):
-            if e in keep:
-                continue
-            if e < 0 or e <= cut:
+            if e != gen and e <= compacted_through:
                 shutil.rmtree(
                     os.path.join(out_dir, f"epoch={e}"), ignore_errors=True
                 )
-                gone.append(e)
-        return gone
-
-    if len(live) <= 1:
-        # no reduction to do, but a crashed previous GC (or a crashed
-        # first compaction's uncommitted generation) may have left
-        # stale dirs -- re-collect them (r6 review finding: the early
-        # return used to skip this, stranding them forever)
-        return {"compacted": 0, "live": live, "removed_epochs": _gc_stale(set(live))}
-    gen = (min(live + [0])) - 1  # next free negative id
-    pre_removed = _gc_stale(set(live))
-    raw = spark.read.parquet(out_dir).filter(F.col("epoch").isin(live))
-    merged = (
-        reducer(raw)
-        .withColumn("bucket", tableio.bucket_column("subj", n_buckets))
-        .withColumn("epoch", F.lit(int(gen)))
-    )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch", "bucket")
-        .parquet(out_dir)
-    )
-    compacted_through = max(live)
-    manifest = {
-        "live": [gen],
-        "compacted_through": compacted_through,
-        "generation": gen,
-    }
-    tmp = _manifest_path(out_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(out_dir))  # atomic commit point
-    # post-commit GC: every on-disk epoch <= compacted_through that is
-    # not the new generation is stale (includes replayed dirs and any
-    # orphans from a previous crashed GC)
-    removed = list(pre_removed)
-    for e in _epochs_on_disk(out_dir):
-        if e != gen and e <= compacted_through:
-            shutil.rmtree(os.path.join(out_dir, f"epoch={e}"), ignore_errors=True)
-            removed.append(e)
-    n_rows = spark.read.parquet(os.path.join(out_dir, f"epoch={gen}")).count()
-    return {
-        "compacted": len(live),
-        "generation": gen,
-        "rows": n_rows,
-        "removed_epochs": removed,
-        "prev_generation": None if prev is None else prev["generation"],
-    }
+                removed.append(e)
+        n_rows = spark.read.parquet(os.path.join(out_dir, f"epoch={gen}")).count()
+        return {
+            "compacted": len(live),
+            "generation": gen,
+            "rows": n_rows,
+            "removed_epochs": removed,
+            "prev_generation": None if prev is None else prev["generation"],
+        }
+    finally:
+        try:
+            os.remove(_lock_path(out_dir))
+        except FileNotFoundError:
+            pass
 
 
 def compact_triple_support(
