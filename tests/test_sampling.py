@@ -146,3 +146,72 @@ def test_reservoir_null_group_kept_by_both_strategies(spark):
     null_ids = [i for i in range(80) if i % 4 == 0]
     want = set(sorted(null_ids, key=lambda i: (_py_hash(i), i))[:5])
     assert p[None] == want
+
+
+def _py_weighted_keep(key, weight, f, seed=""):
+    """Pure-python replay of weighted_hash_sample membership."""
+    if weight is None or weight <= 0:
+        return False
+    num = int(_py_hash(key, seed)[: sampling._NUM_HEX], 16)
+    import math
+
+    cutoff = math.floor(
+        min(float(sampling._NUM_SPACE), (f * weight) * float(sampling._NUM_SPACE))
+    )
+    return num < cutoff
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    rows = [
+        (i, float(w), f"t{i}")
+        for i, w in enumerate([0.5, 1.0, 2.0, 5.0, 0.0, 1500.0] * 50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double, text string")
+    got = {
+        r.doc_id
+        for r in sampling.weighted_hash_sample(
+            df, 0.001, weight_col="w", key_col="doc_id", seed="s"
+        ).collect()
+    }
+    want = {
+        i for i, w, _ in rows if _py_weighted_keep(i, w, 0.001, seed="s")
+    }
+    assert got == want
+    # the min() cap: weight 1500 at f=0.001 -> f*w = 1.5 >= 1, always kept
+    assert {i for i in got if i % 6 == 5} == {i for i, w, _ in rows if w == 1500.0}
+    # weight 0 and negative/NULL weights never kept
+    assert not any(i % 6 == 4 for i in got)
+
+
+def test_weighted_sample_rate_proportional_to_weight(spark):
+    """Doubling the weight doubles the keep rate (statistically, on a
+    2k-row class): the Bernoulli semantics, not just membership."""
+    rows = [(i, 1.0 if i < 2000 else 2.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sampling.weighted_hash_sample(
+        df, 0.1, weight_col="w", key_col="doc_id"
+    ).groupBy("w").count().collect()
+    by_w = {r.w: r["count"] for r in kept}
+    r1 = by_w[1.0] / 2000  # E = 0.1
+    r2 = by_w[2.0] / 2000  # E = 0.2
+    assert 0.07 < r1 < 0.13
+    assert 1.6 < r2 / r1 < 2.4
+
+
+def test_weighted_sample_null_weight_and_reshard_stability(spark):
+    rows = [(i, None if i % 5 == 0 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = {
+        r.doc_id
+        for r in sampling.weighted_hash_sample(
+            df, 0.5, weight_col="w", key_col="doc_id"
+        ).collect()
+    }
+    assert not any(i % 5 == 0 for i in a)  # NULL weights dropped
+    b = {
+        r.doc_id
+        for r in sampling.weighted_hash_sample(
+            df.repartition(13), 0.5, weight_col="w", key_col="doc_id"
+        ).collect()
+    }
+    assert a == b  # membership independent of partitioning

@@ -214,6 +214,152 @@ def main() -> None:
 
     step("samp_reservoir_10x", _res)
 
+    # -- reservoir prefilter under adversarial strata (r7, VERDICT
+    # item 5): one stratum = 90% of the corpus, nine ~1% strata, and a
+    # NULL stratum at scale. Evidence recorded: (a) exactness -- the
+    # prefilter row set EQUALS the window path's on the identical
+    # frame; (b) the prefilter's sorted volume stays ~margin*k per
+    # group (externally replayed from the operator's own cutoff
+    # formula, NOT read back from internals); (c) the exactness
+    # fallback union stays EMPTY (margin*k=4000 expected survivors
+    # per group; P[survivors < k=1000] is Chernoff-negligible).
+    skew_grp = (
+        F.when(F.col("doc_id") % 100 == 99, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 100 < 90, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("doc_id") % 100).cast("string")))
+    )
+    docs_skew = docs10.withColumn("stratum", skew_grp).localCheckpoint()
+    RES_K, RES_MARGIN = 1000, 4.0
+    n_strata = 11  # hot + cold90..cold98 + NULL
+    # closed form: doc_id = orig*10 + rep is contiguous 0..n_docs-1, so
+    # every %100 residue holds exactly n_docs/100 rows; the hot stratum
+    # spans 90 residues, each small stratum one. Small strata (500 rows
+    # at 10x) sit BELOW k -- deliberately: they exercise the
+    # whole-group-returned path while the 45k-row hot stratum exercises
+    # the prefilter, in the same job.
+    per_res = 50_000 // 100
+    res_expected = min(RES_K, 90 * per_res) + 10 * min(RES_K, per_res)
+
+    def _res_skew():
+        pre = sampling.reservoir_per_group(
+            docs_skew, "stratum", k=RES_K, key_col="doc_id",
+            strategy="prefilter", margin=RES_MARGIN,
+        )
+        win = sampling.reservoir_per_group(
+            docs_skew, "stratum", k=RES_K, key_col="doc_id",
+            strategy="window",
+        )
+        diff = pre.exceptAll(win).count() + win.exceptAll(pre).count()
+        rows = pre.count()
+        if diff != 0 or rows != res_expected:
+            raise RuntimeError(
+                f"skewed reservoir: rows={rows} (want {res_expected}),"
+                f" prefilter-vs-window diff={diff}"
+            )
+        return rows
+
+    step("samp_reservoir_skewed_10x", _res_skew)
+
+    # external replay of the prefilter volume + fallback census, using
+    # the SAME published formula (md5 of the stringified key; numeric
+    # 15-hex prefix; cutoff = margin*k/n of the hash space)
+    _space = float(16 ** 15)
+    hashed = docs_skew.select(
+        F.struct("stratum").alias("g"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("num"),
+    )
+    cnts = hashed.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    surv = hashed.join(cnts, "g").where(
+        F.col("num")
+        < F.least(F.lit(_space), F.lit(RES_MARGIN * RES_K) / F.col("n") * F.lit(_space))
+    )
+    per_grp = (
+        surv.groupBy("g").agg(F.count(F.lit(1)).alias("sn")).join(cnts, "g")
+    )
+    fallback_groups = per_grp.where(
+        F.col("sn") < F.least(F.lit(RES_K), F.col("n"))
+    ).count()
+    sorted_rows = surv.count()
+    corpus_rows = docs_skew.count()
+    if fallback_groups != 0:
+        raise RuntimeError(f"{fallback_groups} strata hit the exactness fallback")
+    # volume bound: the hot stratum contributes ~margin*k survivors;
+    # each small stratum (n < margin*k => cutoff caps at the full hash
+    # space) contributes all of its n rows -- both are the operator's
+    # stated contract, and both are tiny next to the 45k-row hot
+    # stratum a naive window would sort whole.
+    sorted_bound = int(1.5 * RES_MARGIN * RES_K) + 10 * per_res
+    if sorted_rows > sorted_bound:
+        raise RuntimeError(
+            f"prefilter sorted volume {sorted_rows} exceeds {sorted_bound}"
+        )
+    results["samp_reservoir_skewed_10x"].update(
+        {
+            "corpus_rows": corpus_rows,
+            "sorted_rows": sorted_rows,
+            "sorted_rows_bound": sorted_bound,
+            "fallback_groups": fallback_groups,
+            "window_parity": True,
+            "strata": n_strata,
+        }
+    )
+    print(
+        f"-- samp_reservoir_skewed_10x: sorted {sorted_rows}/{corpus_rows} rows,"
+        f" fallback_groups={fallback_groups}",
+        file=sys.stderr,
+    )
+
+    # -- multi-probe LSH at 10x (r7, VERDICT item 7): 20480-vector
+    # clustered corpus (10x the recall-curve corpus), b in {0,1,2}.
+    # The probe expansion explodes the broadcast QUERY side only, so
+    # candidate volume -- and wall -- must grow with the probe count,
+    # not with the corpus; recall must be non-decreasing in b.
+    from wikidata_pq_spark import datagen as _dg
+    from wikidata_pq_spark.operators import similarity as _sim
+
+    clustered10 = spark.createDataFrame(
+        _dg.gen_clustered_embeddings(n=20480)
+    ).localCheckpoint()
+    gt_pd = _sim.brute_force_topk(clustered10, n_queries=100, k=10).toPandas()
+    gt = {q: set(g["neighbor_id"]) for q, g in gt_pd.groupby("query_id")}
+
+    def _recall(approx_pd):
+        hits = total = 0
+        by_q = approx_pd.groupby("query_id")["neighbor_id"].apply(set)
+        for q, exact in gt.items():
+            total += len(exact)
+            hits += len(by_q.get(q, set()) & exact)
+        return round(hits / total, 4)
+
+    mp_curve = []
+    for b in (0, 1, 2):
+        t0 = time.time()
+        approx = _sim.lsh_topk(
+            clustered10, n_queries=100, k=10, n_planes=8, n_probe_bits=b
+        ).toPandas()
+        mp_curve.append(
+            {
+                "n_probe_bits": b,
+                "recall@10": _recall(approx),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+        )
+        print(f"-- ann_lsh_multiprobe_10x {mp_curve[-1]}", file=sys.stderr)
+    rec = [pt["recall@10"] for pt in mp_curve]
+    if not (rec[0] <= rec[1] <= rec[2]):
+        raise RuntimeError(f"multi-probe recall not monotone in b: {rec}")
+    if rec[1] < 0.7:
+        raise RuntimeError(f"multi-probe recall@b=1 {rec[1]} below 0.7 floor")
+    results["ann_lsh_multiprobe_10x"] = {
+        "n_vecs": 20480,
+        "n_planes": 8,
+        "curve": mp_curve,
+        "wall_sec": round(sum(pt["wall_sec"] for pt in mp_curve), 1),
+        "rows": 100 * 10,
+    }
+
     # -- triangles under adversarial skew (r6): 200k-node substrate
     # (chain + skip-one edges -> 8 triangles per decade = 160k) plus a
     # HUB adjacent to every even node (100k edges; its even-even

@@ -1175,6 +1175,23 @@ def q_samp_reservoir(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_samp_weighted(spark, sf):
+    """Deterministic weighted Bernoulli sampling (r7): P(keep) =
+    min(1, f * length(text)) with md5-hash membership, compared in the
+    integer domain (explicit floor on both engines -- Spark truncates
+    double->long while DuckDB rounds, so the cast is never implicit).
+    Oracle: the identical predicate in SQL; doubles only pass through
+    literal-parse/multiply/min, all IEEE-identical across engines."""
+    from .operators import sampling
+
+    docs = load(spark, sf, "documents").withColumn(
+        "text_len", F.length("text")
+    )
+    return sampling.weighted_hash_sample(
+        docs, 0.002, weight_col="text_len", key_col="doc_id", seed="r7"
+    ).select("doc_id", "lang", "text_len")
+
+
 def q_sk_heavy_hitters(spark, sf):
     """Distributed Misra-Gries heavy hitters over document tokens
     (r6): bounded state per partition, merge by summation + global
@@ -1621,6 +1638,10 @@ EXTRA_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "text_repetition_ratio": q_repetition_ratio,
     "x_curate_corpus": q_curate_corpus,
+    # -- r7 new operator: quality-weighted deterministic sampling
+    #    (born in EXTRA like every new family; window seat at the next
+    #    rotation once it has local-gate history)
+    "samp_weighted": q_samp_weighted,
 }
 
 # --------------------------------------------------------------------------
@@ -2558,6 +2579,14 @@ ORACLE_SQL = {
                         WHEN 'de' THEN '400000'
                         WHEN 'zh' THEN '199999'
                         ELSE '' END
+    """,
+    "samp_weighted": """
+        SELECT doc_id, lang, length(text) AS text_len FROM documents
+        WHERE length(text) > 0
+          AND CAST(('0x' || substring(
+                md5(CAST(doc_id AS VARCHAR) || 'r7'), 1, 15)) AS BIGINT)
+            < CAST(floor(least(1152921504606846976.0,
+                (0.002 * length(text)) * 1152921504606846976.0)) AS BIGINT)
     """,
     "samp_reservoir": """
         SELECT doc_id, lang FROM (

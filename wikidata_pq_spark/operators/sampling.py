@@ -96,6 +96,55 @@ def hash_sample(
     )
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    base_fraction: float,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: each row is kept
+    with probability ``min(1, base_fraction * weight)``, membership a
+    pure function of the key hash -- the quality-weighted corpus
+    downsample (keep high-quality documents at a higher rate) that
+    training pipelines otherwise do with ``rand() < f*w`` and lose
+    reproducibility across runs and re-shards.
+
+    Arithmetic is chosen so the DuckDB oracle replays membership
+    BIT-FOR-BIT: the row's 60-bit numeric hash prefix is compared to
+    ``floor(min(space, (f * w) * space))`` in the INTEGER domain.
+    Doubles appear only in literal-parse, multiply, and min -- all
+    IEEE-correctly-rounded and therefore engine-identical -- and
+    ``floor`` is exact, so no transcendental (the ``pow``/``ln`` of a
+    weighted-reservoir priority) ever enters the comparison. A
+    double-vs-long comparison is deliberately avoided: Spark truncates
+    double->long casts while DuckDB rounds them, so the cutoff is
+    floored explicitly on both sides instead.
+
+    Same scale shape as :func:`hash_sample`: one row-local predicate,
+    no shuffle, no state (the ``samp_weighted`` plan golden pins the
+    exchange-free scan->filter stage). Rows with NULL or non-positive
+    weight are dropped (a weight of 0 means "never keep"; weights
+    >= 1/base_fraction are always kept -- the min() cap).
+    """
+    num = F.conv(
+        F.substring(sample_hash(F.col(key_col), seed), 1, _NUM_HEX), 16, 10
+    ).cast("long")
+    cutoff = F.floor(
+        F.least(
+            F.lit(float(_NUM_SPACE)),
+            F.lit(float(base_fraction))
+            * F.col(weight_col)
+            * F.lit(float(_NUM_SPACE)),
+        )
+    )
+    return df.where(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & (num < cutoff)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -155,6 +155,17 @@ CHECKS = {
             r"BatchEvalPython", r"Window", r"HashAggregate", r"Sort\b",
         ],
     ),
+    # weighted sampling (r7): same exchange-free single-map-stage
+    # contract as samp_hash -- the weight is a row-local expression,
+    # so quality-weighted membership adds zero plan nodes beyond the
+    # Filter
+    "samp_weighted": (
+        [r"Filter", r"Scan parquet"],
+        [
+            r"Exchange", r"CartesianProduct", r"MapInPandas",
+            r"BatchEvalPython", r"Window", r"HashAggregate", r"Sort\b",
+        ],
+    ),
     # stratified sampling (r6): cutoff dict is a BROADCAST join, the
     # corpus side never shuffles, scan reads only the 3 output columns
     "samp_stratified": (
@@ -271,6 +282,22 @@ def _samp_hash_raw(spark, sf):
     )
 
 
+def _samp_weighted_raw(spark, sf):
+    """Raw weighted_hash_sample over the documents scan: like
+    samp_hash, one exchange-free map stage."""
+    import pyspark.sql.functions as F
+
+    from .. import contracts
+    from ..operators import sampling
+
+    docs = contracts.load(spark, sf, "documents").withColumn(
+        "text_len", F.length("text")
+    )
+    return sampling.weighted_hash_sample(
+        docs, 0.002, weight_col="text_len", key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
 def _samp_reservoir_raw(spark, sf):
     """reservoir_per_group truncates lineage on the survivor frame
     (two consumers); audit the untruncated prefilter plan so the
@@ -331,6 +358,7 @@ BUILDERS = {
     "kg_comention_edges": _comention_raw,
     "graph_triangles": _triangles_raw,
     "samp_hash": _samp_hash_raw,
+    "samp_weighted": _samp_weighted_raw,
     "samp_reservoir": _samp_reservoir_raw,
     "sk_heavy_hitters": _sk_heavy_hitters_raw,
     "graph_lpa": _graph_lpa_raw,
