@@ -517,3 +517,22 @@ def test_ensure_parallelism_probe_cache_bounded(spark):
         assert len(dedup._PROBE_CACHE) <= dedup._PROBE_CACHE_MAX
     finally:
         dedup._PROBE_CACHE.clear()
+
+
+def test_ensure_parallelism_single_partition_exchange_not_parallel(spark):
+    """A global aggregate plans an 'Exchange' node whose arguments
+    collapse to SinglePartition -- the plan fast path must NOT read
+    that as shuffle-grade parallelism (r7 self-review): the frame goes
+    through the real probe and gets repartitioned."""
+    from pyspark.sql import functions as F
+
+    dedup._PROBE_CACHE.clear()
+    one = (
+        spark.range(100)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", (F.col("n") + 1).alias("m"))
+    )
+    out = dedup.ensure_parallelism(one)
+    target = spark.sparkContext.defaultParallelism
+    assert out is not one  # repartition applied
+    assert out.rdd.getNumPartitions() == target

@@ -900,3 +900,83 @@ def test_concurrent_compaction_refused_by_lease(spark, tmp_path):
     assert not os.path.exists(inc._lock_path(out))  # lease released
     got = inc.read_triple_support(spark, out).toPandas()
     assert got["n_support"].iloc[0] == 2
+
+
+def test_replay_of_live_epoch_refused_while_compacting(spark, tmp_path):
+    """r7 review: an at-least-once REPLAY of a live epoch while the
+    compaction lease is held would rewrite a partition the compactor
+    may be mid-scan on (dynamic overwrite = delete-then-rename, not
+    atomic) -- refused loudly. A NEW epoch id above the on-disk max
+    stays writable at any point (the interleaved-merge test's safe
+    case)."""
+    import os
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+
+    with open(inc._lock_path(out), "w") as fh:
+        fh.write("lease")
+    try:
+        with _pt.raises(ValueError, match="rewrite a live epoch"):
+            inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+        # a new id is fine even mid-compaction
+        inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
+    finally:
+        os.remove(inc._lock_path(out))
+    # replays are fine again once the lease is gone
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 3
+
+
+def test_corrupt_primary_manifest_recovers_from_bak(spark, tmp_path):
+    """r7 review: a CORRUPT (truncated) primary manifest -- the exact
+    failure class the .bak exists for -- must fall through to the bak
+    with a warning and self-heal, not raise JSONDecodeError forever."""
+    import os
+    import warnings
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    inc.compact_triple_support(spark, out, n_buckets=2)
+
+    p = os.path.join(out, "_compaction.json")
+    with open(p, "w") as fh:
+        fh.write('{"live": [-1], "compacted_')  # truncated write
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert inc.live_epochs(out) == [-1]
+    assert any("corrupt" in str(x.message) for x in w)
+    # self-healed: primary parses again, no warning on re-read
+    import json
+
+    assert json.load(open(p))["live"] == [-1]
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 2
+
+    # corrupt primary AND no bak -> loud, names the parse failure
+    with open(p, "w") as fh:
+        fh.write("garbage")
+    os.remove(os.path.join(out, "_compaction.json.bak"))
+    with _pt.raises(RuntimeError, match="unreadable"):
+        inc.live_epochs(out)

@@ -237,7 +237,7 @@ def main() -> None:
     # at 10x) sit BELOW k -- deliberately: they exercise the
     # whole-group-returned path while the 45k-row hot stratum exercises
     # the prefilter, in the same job.
-    per_res = 50_000 // 100
+    per_res = n_docs // 100  # doc_ids are contiguous 0..n_docs-1
     res_expected = min(RES_K, 90 * per_res) + 10 * min(RES_K, per_res)
 
     def _res_skew():

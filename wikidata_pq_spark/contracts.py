@@ -2580,13 +2580,20 @@ ORACLE_SQL = {
                         WHEN 'zh' THEN '199999'
                         ELSE '' END
     """,
+    # samp_weighted cutoff: every operand is CAST to DOUBLE because
+    # DuckDB otherwise types the literals as DECIMAL and evaluates the
+    # whole product EXACTLY -- diverging from Spark's IEEE doubles on
+    # lengths where (f*len)*space rounds (72 of the first 2000 lengths,
+    # r7 review). With doubles on both sides the multiply/min/floor
+    # chain is IEEE-correctly-rounded and engine-identical.
     "samp_weighted": """
         SELECT doc_id, lang, length(text) AS text_len FROM documents
         WHERE length(text) > 0
           AND CAST(('0x' || substring(
                 md5(CAST(doc_id AS VARCHAR) || 'r7'), 1, 15)) AS BIGINT)
-            < CAST(floor(least(1152921504606846976.0,
-                (0.002 * length(text)) * 1152921504606846976.0)) AS BIGINT)
+            < CAST(floor(least(CAST(1152921504606846976 AS DOUBLE),
+                (CAST(0.002 AS DOUBLE) * length(text))
+                  * CAST(1152921504606846976 AS DOUBLE))) AS BIGINT)
     """,
     "samp_reservoir": """
         SELECT doc_id, lang FROM (

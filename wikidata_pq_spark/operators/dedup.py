@@ -217,20 +217,22 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     1. memo hit on (applicationId, semanticHash) -- free; bench reps
        and repeated pipeline stages re-plan the same frame, so steady
        state is this path.
-    2. plan inspection -- if the physical plan contains a shuffle
-       Exchange node, the frame already has shuffle.partitions-grade
-       parallelism downstream of it: return as-is, no RDD conversion at
-       all. Explain under AQE prints the INITIAL plan without running
-       any stage, and the planning work is per-DataFrame-cached so the
-       caller's real action reuses it.
-    3. no exchange, no broadcast, no subquery -- the plan has no query
+    2. plan inspection -- a shuffle Exchange node (excluding
+       SinglePartition collapses, which mean ONE partition, not many)
+       puts the frame at the STATIC ``spark.sql.shuffle.partitions``
+       count downstream: no RDD conversion at all. Explain under AQE
+       prints the INITIAL plan without running any stage, and the
+       planning work is per-DataFrame-cached so the caller's real
+       action reuses it.
+    3. no exchange of any kind, no subquery -- the plan has no query
        stages, so AQE never wraps it (InsertAdaptiveSparkPlan applies
        only to plans with exchanges or subqueries) and ``df.rdd`` is
        the classic LAZY conversion: partition counts come from file
        splits with zero jobs run. No conf toggle needed.
-    4. broadcast/subquery but no shuffle (rare for the row-local frames
-       this guards) -- the one shape where ``df.rdd`` under AQE would
-       materialize a stage, so only here the r6 AQE-toggled probe runs,
+    4. any remaining stage-bearing shape (broadcast or subquery with
+       no shuffle; a SinglePartition global agg/sort) -- the shapes
+       where ``df.rdd`` under AQE would materialize upstream stages,
+       so only here the r6 AQE-toggled probe runs,
        once per distinct plan per session (then memoized). The
        ms-scale session-global off-window therefore survives only for
        first-sight broadcast-shaped frames; callers embedding this
@@ -250,14 +252,35 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             n_parts = _PROBE_CACHE[key]
             return df.repartition(target) if n_parts < target else df
     plan = _physical_plan(df)
-    if _SHUFFLE_NODE_RE.search(plan):
-        n_parts = target  # post-exchange: shuffle.partitions-grade
-    elif "BroadcastExchange" not in plan and "Subquery" not in plan:
-        # stage-free plan: .rdd is lazy even under AQE
+    has_shuffle = _SHUFFLE_NODE_RE.search(plan) is not None
+    if has_shuffle and "SinglePartition" not in plan:
+        # post-exchange parallelism is the STATIC shuffle-partition
+        # number, not defaultParallelism -- a session configured with
+        # shuffle_partitions below the slot count would otherwise be
+        # declared parallel-enough exactly when its UDF stages run
+        # narrow (r7 review). The SinglePartition screen matters too:
+        # a global agg/sort plans an "Exchange" whose arguments
+        # collapse to ONE partition -- declaring that parallel would
+        # skip the repartition exactly when it is needed.
+        n_parts = int(
+            sess.conf.get("spark.sql.shuffle.partitions", str(target))
+        )
+    elif (
+        not has_shuffle
+        and "BroadcastExchange" not in plan
+        and "Subquery" not in plan
+    ):
+        # genuinely stage-free plan (no exchange of any kind, no
+        # subquery): AQE never wraps it, so .rdd is lazy -- partition
+        # counts come from file splits with zero jobs run
         n_parts = df.rdd.getNumPartitions()
     else:
-        # see the docstring's point 4 for why the toggle is confined
-        # to this cold path and what the residual hazard is
+        # every remaining shape contains at least one query stage
+        # (broadcast, subquery, or a SinglePartition shuffle), where
+        # .rdd under AQE would MATERIALIZE upstream stages as real
+        # jobs -- so only here the r6 AQE-toggled probe runs, once per
+        # distinct plan per session (then memoized). See the
+        # docstring's point 4 for the residual off-window hazard.
         with _AQE_PROBE_LOCK:
             prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
             sess.conf.set("spark.sql.adaptive.enabled", "false")

@@ -114,9 +114,14 @@ def weighted_hash_sample(
     BIT-FOR-BIT: the row's 60-bit numeric hash prefix is compared to
     ``floor(min(space, (f * w) * space))`` in the INTEGER domain.
     Doubles appear only in literal-parse, multiply, and min -- all
-    IEEE-correctly-rounded and therefore engine-identical -- and
-    ``floor`` is exact, so no transcendental (the ``pow``/``ln`` of a
-    weighted-reservoir priority) ever enters the comparison. A
+    IEEE-correctly-rounded and therefore engine-identical PROVIDED the
+    replaying engine actually evaluates in doubles: DuckDB types bare
+    numeric literals as DECIMAL and evaluates the product EXACTLY, so
+    the oracle CASTs every operand to DOUBLE (r7 review: 72 of the
+    first 2000 lengths diverge without the casts; 0 of 100k with
+    them) -- and ``floor`` is exact, so no transcendental (the
+    ``pow``/``ln`` of a weighted-reservoir priority) ever enters the
+    comparison. A
     double-vs-long comparison is deliberately avoided: Spark truncates
     double->long casts while DuckDB rounds them, so the cutoff is
     floored explicitly on both sides instead.

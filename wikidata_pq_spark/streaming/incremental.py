@@ -190,7 +190,24 @@ def _guard_epoch_vs_manifest(out_dir: str, epoch_id: int) -> None:
     restart at 0 if that checkpoint is deleted while the store keeps
     its manifest -- the write would land at or below
     ``compacted_through``, be pruned from every read, and be GC'd by
-    the next compaction. Silent data loss; fail loudly instead."""
+    the next compaction. Silent data loss; fail loudly instead.
+
+    Second rung (r7 review): while a compaction lease is held, a merge
+    that REWRITES an epoch the compactor may be reading (id at or
+    below the current on-disk maximum -- an at-least-once REPLAY) is
+    also refused. Dynamic partition-overwrite is delete-then-rename,
+    not atomic, so the compactor's scan could see a transiently
+    empty/partial epoch and commit a generation silently missing those
+    rows, which the manifest then retires -- permanent loss. A merge
+    with a NEW id (above the on-disk max) is safe at ANY interleaving
+    point: the compactor never reads it and the new manifest keeps it
+    live. This check is best-effort (checked before the write, not
+    atomically with it); the operational contract remains that
+    compaction runs BETWEEN availableNow drains -- the guard converts
+    a violated contract from silent corruption into a loud error in
+    every non-racing interleaving."""
+    import os
+
     m = _read_manifest(out_dir)
     if m is not None and int(epoch_id) <= m["compacted_through"]:
         raise ValueError(
@@ -201,6 +218,17 @@ def _guard_epoch_vs_manifest(out_dir: str, epoch_id: int) -> None:
             "invisible to reads. Use a fresh out_dir or restore the "
             "original checkpoint."
         )
+    if os.path.exists(_lock_path(out_dir)):
+        on_disk = _epochs_on_disk(out_dir)
+        if on_disk and int(epoch_id) <= max(on_disk):
+            raise ValueError(
+                f"epoch {epoch_id} would rewrite a live epoch (on-disk "
+                f"max {max(on_disk)}) while a compaction holds "
+                f"{_lock_path(out_dir)}: the compactor may be reading "
+                "that partition and dynamic overwrite is not atomic. "
+                "Wait for the compaction to finish (new epoch ids above "
+                "the on-disk max remain writable)."
+            )
 
 
 def merge_triple_support(
@@ -478,12 +506,32 @@ def _read_manifest(out_dir: str) -> dict | None:
     import os
 
     p = _manifest_path(out_dir)
+    primary_err = None
     if os.path.isfile(p):
-        with open(p) as fh:
-            return json.load(fh)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, ValueError) as e:
+            # a CORRUPT primary (truncated copy, partial write by a
+            # non-atomic tool) is exactly the failure class the bak
+            # exists for -- fall through to it rather than failing
+            # every read forever (r7 review)
+            primary_err = e
     bak = _manifest_bak_path(out_dir)
     if not os.path.isfile(bak):
+        if primary_err is not None:
+            raise RuntimeError(
+                f"{p} is unreadable ({primary_err}) and no .bak exists"
+            ) from primary_err
         return None
+    if primary_err is not None:
+        import warnings
+
+        warnings.warn(
+            f"{p} was corrupt ({primary_err}); recovered from .bak and "
+            "self-healed the primary",
+            stacklevel=3,
+        )
     with open(bak) as fh:
         m = json.load(fh)
     tmp = p + ".tmp"
@@ -636,13 +684,20 @@ def _compact(
     SINGLE-COMPACTOR, enforced by an O_EXCL lease file -- two
     concurrent ``_compact`` calls would pick the same generation id and
     interleave writes into the same partition dir, so the second call
-    REFUSES loudly instead. A concurrent streaming MERGE is safe at any
-    interleaving point and needs no lock: a new epoch landing between
-    the parquet write and the manifest rename has id > every id the
-    compactor saw (the merge-side watermark guard refuses ids at or
-    below ``compacted_through``), so it stays live under the new
-    manifest and reduces together with the generation -- pinned by
-    ``test_merge_interleaved_inside_compaction_commit_window``. A crash
+    REFUSES loudly instead. A concurrent streaming MERGE with a NEW
+    epoch id (above the on-disk max) is safe at any interleaving point
+    and needs no lock: the compactor never reads it, it stays live
+    under the new manifest, and it reduces together with the
+    generation -- pinned by
+    ``test_merge_interleaved_inside_compaction_commit_window``. A
+    merge that REWRITES a live epoch (an at-least-once replay) while
+    the lease is held is NOT safe -- dynamic partition-overwrite is
+    delete-then-rename, so the compactor's scan could read a
+    transient hole and bake the loss into the committed generation --
+    and is refused by the merge-side guard (see
+    ``_guard_epoch_vs_manifest``); the operational contract remains
+    compaction-between-drains, with the guard converting violations
+    into loud errors. A crash
     while holding the lease leaves the file behind; the next compactor
     refuses until it is removed, which is deliberate (the operator must
     confirm the dead compactor actually died before breaking its
@@ -664,12 +719,14 @@ def _compact(
             f"crashed compactor left {_lock_path(out_dir)}); verify no "
             "compactor is alive, then remove the lock file to proceed"
         )
+    # everything after a successful O_EXCL create -- including the pid
+    # stamp itself -- runs under the finally that releases the lease,
+    # so an ENOSPC/EIO on the write cannot orphan the lock (r7 review)
     try:
-        os.write(lock_fd, str(os.getpid()).encode())
-    finally:
-        os.close(lock_fd)
-
-    try:
+        try:
+            os.write(lock_fd, str(os.getpid()).encode())
+        finally:
+            os.close(lock_fd)
         prev = _read_manifest(out_dir)
         live = live_epochs(out_dir)
 
