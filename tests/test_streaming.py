@@ -980,3 +980,75 @@ def test_corrupt_primary_manifest_recovers_from_bak(spark, tmp_path):
     os.remove(os.path.join(out, "_compaction.json.bak"))
     with _pt.raises(RuntimeError, match="unreadable"):
         inc.live_epochs(out)
+
+
+def test_crash_between_bak_and_primary_manifest_reads_committed(spark, tmp_path):
+    """The commit protocol's claimed recovery property (r7): a crash
+    AFTER the .bak write but BEFORE the primary rename leaves a
+    complete generation + bak + retired epochs still on disk (GC never
+    ran). Reads must treat the generation as committed via the bak
+    fallback (its data equals the epochs it retires), exclude the
+    retired epochs, and the next compaction must GC them as a no-op."""
+    import os
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    epochs = [
+        [("Q1", "p", "Q2", "c1", 1), ("Q3", "q", "Q4", "c2", 2)],
+        [("Q1", "p", "Q2", "c3", 1)],
+        [("Q5", "r", "Q6", "c4", 5)],
+    ]
+    out = str(tmp_path / "support")
+    for i, e in enumerate(epochs):
+        inc.merge_triple_support(
+            spark.createDataFrame(pd.DataFrame(e, columns=cols)),
+            out, epoch_id=i, n_buckets=2,
+        )
+
+    # crash injection: the primary rename raises AFTER the bak landed
+    orig_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if str(dst).endswith("_compaction.json") and not str(dst).endswith(".bak"):
+            raise OSError("injected crash before the primary rename")
+        return orig_replace(src, dst)
+
+    os.replace = crashing_replace
+    try:
+        with _pt.raises(OSError, match="injected crash"):
+            inc.compact_triple_support(spark, out, n_buckets=2)
+    finally:
+        os.replace = orig_replace
+
+    # the lease must have been released despite the crash
+    assert not os.path.exists(inc._lock_path(out))
+    # on-disk shape: generation + bak + ALL retired epochs (no GC ran)
+    assert set(inc._epochs_on_disk(out)) == {-1, 0, 1, 2}
+    assert os.path.isfile(os.path.join(out, "_compaction.json.bak"))
+    assert not os.path.isfile(os.path.join(out, "_compaction.json"))
+
+    # reads recover via the bak: generation live, retired excluded
+    assert inc.live_epochs(out) == [-1]
+    got = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    from wikidata_pq_spark.operators import graph
+
+    allb = spark.createDataFrame(
+        pd.DataFrame([r for e in epochs for r in e], columns=cols)
+    )
+    full = graph.triple_support(allb).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert got.index.equals(full.index)
+    assert (got["n_support"] == full["n_support"]).all()
+
+    # the next compaction is a no-op that GCs the retired epochs
+    s2 = inc.compact_triple_support(spark, out, n_buckets=2)
+    assert s2["compacted"] == 0
+    assert sorted(s2["removed_epochs"]) == [0, 1, 2]
+    assert inc._epochs_on_disk(out) == [-1]
+    final = inc.read_triple_support(spark, out).toPandas()
+    assert final["n_support"].sum() == full["n_support"].sum()
