@@ -51,9 +51,17 @@ BENCH_QUERIES = [
     "graph_triangles",
 ]
 
-# cells present in every bench since r01-r05: their sum is the
-# cross-round comparable total
-LEGACY_12 = BENCH_QUERIES[:12]
+# cells present in every bench since r01-r06, FROZEN BY NAME (not a
+# positional slice -- r7 second review: an insertion or reorder of
+# BENCH_QUERIES must never silently change what legacy12_total_sec
+# measures); their sum is the cross-round comparable total
+LEGACY_12 = (
+    "a1_pricing_summary", "a7_running_revenue", "w1_topk_per_group",
+    "j1_rowid_token_join", "q3_shipping_priority", "q5_region_revenue",
+    "dedup_exact", "dedup_near_dup", "dedup_minhash_lsh",
+    "ann_topk_bruteforce", "text_quality_score", "kg_triples",
+)
+assert set(LEGACY_12) <= set(BENCH_QUERIES), "legacy cell missing from bench"
 
 
 def main() -> None:

@@ -454,7 +454,11 @@ def test_ensure_parallelism_repartitions_small_scan(spark, tmp_path):
     dedup._PROBE_CACHE.clear()
     out = dedup.ensure_parallelism(df)
     assert out.rdd.getNumPartitions() == target
-    key = (spark.sparkContext.applicationId, df.semanticHash())
+    key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        df.semanticHash(),
+    )
     assert dedup._PROBE_CACHE[key] < target
     # memo hit: a poisoned plan probe would blow up if consulted again
     orig = dedup._physical_plan

@@ -215,3 +215,18 @@ def test_weighted_sample_null_weight_and_reshard_stability(spark):
         ).collect()
     }
     assert a == b  # membership independent of partitioning
+
+
+def test_weighted_sample_nan_weight_dropped(spark):
+    """r7 second review: Spark orders NaN greater than every number, so
+    an unguarded NaN weight would pass `w > 0` AND saturate the min()
+    cap -- kept unconditionally. The contract drops it like NULL."""
+    rows = [(0, float("nan")), (1, 1000.0), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r.doc_id
+        for r in sampling.weighted_hash_sample(
+            df, 0.01, weight_col="w", key_col="doc_id"
+        ).collect()
+    }
+    assert got == {1}  # w=1000*0.01=10 >= 1 -> always kept; NaN/NULL dropped

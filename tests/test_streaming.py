@@ -801,13 +801,18 @@ def test_lost_both_manifests_with_newer_epochs_quarantines(spark, tmp_path):
     assert not os.path.isdir(qdir)
 
 
-def test_merge_interleaved_inside_compaction_commit_window(spark, tmp_path):
-    """Concurrent-writer pin (r7, VERDICT item 6): a streaming merge
-    landing BETWEEN compaction's parquet write and its manifest rename
-    is safe -- the new epoch's id is above the watermark the compactor
-    records, so it stays live under the new manifest and the final
-    rollup equals the batch reference over all epochs."""
+def test_merge_refused_inside_compaction_commit_window(spark, tmp_path):
+    """Concurrent-writer pin (r7, VERDICT item 6; tightened by the
+    second review pass): a streaming merge attempted anywhere inside
+    the compaction lease's lifetime -- here injected between the
+    generation's parquet write and the manifest rename -- is REFUSED
+    loudly (a writer cannot tell whether it is before or after the
+    compactor's live_epochs listing, so the only sound writer-side
+    rule is lease == no merges). The compaction itself completes
+    unharmed, and the refused batch replays cleanly afterwards, giving
+    exactly the batch reference."""
     import pandas as pd
+    import pytest as _pt
 
     from wikidata_pq_spark.operators import graph
     from wikidata_pq_spark.streaming import incremental as inc
@@ -824,19 +829,19 @@ def test_merge_interleaved_inside_compaction_commit_window(spark, tmp_path):
     for i in range(3):
         inc.merge_triple_support(dfs[i], out, epoch_id=i, n_buckets=2)
 
-    # fire the interleaved merge inside the commit window: os.replace
-    # is first called for the .bak copy, which happens strictly AFTER
-    # the generation's parquet write completes and strictly BEFORE the
-    # primary-manifest rename (the commit point)
+    # attempt the merge inside the commit window: os.replace is first
+    # called for the .bak copy, strictly AFTER the generation's
+    # parquet write and strictly BEFORE the primary rename
     import os as _os
 
     orig_replace = _os.replace
-    fired = []
+    refusals = []
 
     def hook(src, dst):
-        if str(dst).endswith("_compaction.json.bak") and not fired:
-            fired.append(1)
-            inc.merge_triple_support(dfs[3], out, epoch_id=3, n_buckets=2)
+        if str(dst).endswith("_compaction.json.bak") and not refusals:
+            with _pt.raises(ValueError, match="compaction holds"):
+                inc.merge_triple_support(dfs[3], out, epoch_id=3, n_buckets=2)
+            refusals.append(1)
         return orig_replace(src, dst)
 
     _os.replace = hook
@@ -844,10 +849,11 @@ def test_merge_interleaved_inside_compaction_commit_window(spark, tmp_path):
         summary = inc.compact_triple_support(spark, out, n_buckets=2)
     finally:
         _os.replace = orig_replace
-    assert fired and summary["compacted"] == 3
-    # epoch 3 landed mid-commit: live alongside the generation
-    assert inc.live_epochs(out) == [-1, 3]
+    assert refusals and summary["compacted"] == 3
+    assert inc.live_epochs(out) == [-1]
 
+    # the refused batch replays after the lease is gone (at-least-once)
+    inc.merge_triple_support(dfs[3], out, epoch_id=3, n_buckets=2)
     got = inc.read_triple_support(spark, out).toPandas().set_index(
         ["subj", "pred", "obj"]).sort_index()
     allb = dfs[0]
@@ -864,6 +870,38 @@ def test_merge_interleaved_inside_compaction_commit_window(spark, tmp_path):
     final = inc.read_triple_support(spark, out).toPandas().set_index(
         ["subj", "pred", "obj"]).sort_index()
     assert (final["n_support"] == full["n_support"]).all()
+
+
+def test_epoch_landing_before_compaction_reduces_correctly(spark, tmp_path):
+    """The epoch-arithmetic property the commit protocol guarantees:
+    an epoch FULLY landed before the compactor's listing reduces into
+    the generation exactly like its older siblings."""
+    import pandas as pd
+
+    from wikidata_pq_spark.operators import graph
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    epochs = [
+        [("Q1", "p", "Q2", "c1", 1)],
+        [("Q1", "p", "Q2", "c2", 2), ("Q3", "q", "Q4", "c3", 1)],
+        [("Q3", "q", "Q4", "c3", 9)],
+    ]
+    dfs = [spark.createDataFrame(pd.DataFrame(e, columns=cols)) for e in epochs]
+    out = str(tmp_path / "support")
+    for i, d in enumerate(dfs):
+        inc.merge_triple_support(d, out, epoch_id=i, n_buckets=2)
+    assert inc.compact_triple_support(spark, out, n_buckets=2)["compacted"] == 3
+    got = inc.read_triple_support(spark, out).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    allb = dfs[0]
+    for d in dfs[1:]:
+        allb = allb.unionByName(d)
+    full = graph.triple_support(allb).toPandas().set_index(
+        ["subj", "pred", "obj"]).sort_index()
+    assert got.index.equals(full.index)
+    assert (got["n_support"] == full["n_support"]).all()
+    assert (got["first_turn"] == full["first_turn"]).all()
 
 
 def test_concurrent_compaction_refused_by_lease(spark, tmp_path):
@@ -902,13 +940,12 @@ def test_concurrent_compaction_refused_by_lease(spark, tmp_path):
     assert got["n_support"].iloc[0] == 2
 
 
-def test_replay_of_live_epoch_refused_while_compacting(spark, tmp_path):
-    """r7 review: an at-least-once REPLAY of a live epoch while the
-    compaction lease is held would rewrite a partition the compactor
-    may be mid-scan on (dynamic overwrite = delete-then-rename, not
-    atomic) -- refused loudly. A NEW epoch id above the on-disk max
-    stays writable at any point (the interleaved-merge test's safe
-    case)."""
+def test_any_merge_refused_while_compaction_lease_held(spark, tmp_path):
+    """r7 review (both passes): EVERY merge is refused while the
+    compaction lease is held -- a replay would rewrite a partition the
+    compactor may be mid-scan on, and a new id starting before/during
+    the listing could be compacted partial then GC'd complete. The
+    at-least-once writer just replays the failed batch afterwards."""
     import os
 
     import pandas as pd
@@ -927,14 +964,19 @@ def test_replay_of_live_epoch_refused_while_compacting(spark, tmp_path):
     with open(inc._lock_path(out), "w") as fh:
         fh.write("lease")
     try:
-        with _pt.raises(ValueError, match="rewrite a live epoch"):
+        with _pt.raises(ValueError, match="compaction holds"):
             inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
-        # a new id is fine even mid-compaction
-        inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
+        # a NEW id is refused too (second review pass: a new epoch
+        # starting before/during the compactor's listing could be
+        # compacted partial and then GC'd complete; the writer cannot
+        # tell which side of the listing it is on)
+        with _pt.raises(ValueError, match="compaction holds"):
+            inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
     finally:
         os.remove(inc._lock_path(out))
-    # replays are fine again once the lease is gone
+    # replays and new ids are both fine once the lease is gone
     inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=2, n_buckets=2)
     got = inc.read_triple_support(spark, out).toPandas()
     assert got["n_support"].iloc[0] == 3
 

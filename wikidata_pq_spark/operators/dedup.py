@@ -177,9 +177,10 @@ def ngram_jaccard_pairs(
     )
 
 
-# probe memo: (applicationId, semanticHash) -> partition count. Keyed
-# by applicationId so a stopped-and-recreated session never reads a
-# stale entry; bounded LRU so a long-lived driver enumerating thousands
+# probe memo: (applicationId, shuffle-partition conf, semanticHash) ->
+# partition count. Keyed by applicationId so a stopped-and-recreated
+# session never reads a stale entry, and by the conf so a mid-session
+# change invalidates; bounded LRU so a long-lived driver enumerating thousands
 # of distinct plans cannot grow it without limit.
 _PROBE_CACHE: "OrderedDict[tuple[str, int], int]" = OrderedDict()
 _PROBE_CACHE_MAX = 256
@@ -245,7 +246,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
-    key = (sess.sparkContext.applicationId, df.semanticHash())
+    # key includes the shuffle-partition conf (r7 second review: a
+    # driver lowering it mid-session must not read a memoized count
+    # probed under the old value). Residual memo caveats, both
+    # PERFORMANCE-only -- a wrong entry can only mis-decide the
+    # value-neutral repartition, never change results: semanticHash is
+    # 32-bit (collisions ~1e-5 at the 256-entry cap), and a re-read
+    # path whose file count changes mid-session keeps its first count
+    # until evicted.
+    shuffle_conf = sess.conf.get("spark.sql.shuffle.partitions", str(target))
+    key = (sess.sparkContext.applicationId, shuffle_conf, df.semanticHash())
     with _AQE_PROBE_LOCK:
         if key in _PROBE_CACHE:
             _PROBE_CACHE.move_to_end(key)
@@ -253,7 +263,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             return df.repartition(target) if n_parts < target else df
     plan = _physical_plan(df)
     has_shuffle = _SHUFFLE_NODE_RE.search(plan) is not None
-    if has_shuffle and "SinglePartition" not in plan:
+    # shapes whose runtime partition count is NOT the static
+    # shuffle-partition conf: an explicit user repartition(n) (shuffle
+    # origin REPARTITION_BY_NUM carries its own n), a Coalesce node
+    # (narrow, reduces below whatever its child had), or a
+    # SinglePartition collapse (global agg/sort). These take the real
+    # probe instead of the conf fast path (r7 second review:
+    # repartition(2) on a 32-slot session was declared parallel).
+    explicit_n = (
+        "REPARTITION_BY_NUM" in plan
+        or "SinglePartition" in plan
+        or re.search(r"(?m)^[\s:+\-*]*Coalesce\s*\(\d+\)\s*$", plan)
+    )
+    if has_shuffle and not explicit_n:
         # post-exchange parallelism is the STATIC shuffle-partition
         # number, not defaultParallelism -- a session configured with
         # shuffle_partitions below the slot count would otherwise be
@@ -262,9 +284,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # a global agg/sort plans an "Exchange" whose arguments
         # collapse to ONE partition -- declaring that parallel would
         # skip the repartition exactly when it is needed.
-        n_parts = int(
-            sess.conf.get("spark.sql.shuffle.partitions", str(target))
-        )
+        n_parts = int(shuffle_conf)
     elif (
         not has_shuffle
         and "BroadcastExchange" not in plan

@@ -128,9 +128,9 @@ def weighted_hash_sample(
 
     Same scale shape as :func:`hash_sample`: one row-local predicate,
     no shuffle, no state (the ``samp_weighted`` plan golden pins the
-    exchange-free scan->filter stage). Rows with NULL or non-positive
-    weight are dropped (a weight of 0 means "never keep"; weights
-    >= 1/base_fraction are always kept -- the min() cap).
+    exchange-free scan->filter stage). Rows with NULL, NaN, or
+    non-positive weight are dropped (a weight of 0 means "never keep";
+    weights >= 1/base_fraction are always kept -- the min() cap).
     """
     num = F.conv(
         F.substring(sample_hash(F.col(key_col), seed), 1, _NUM_HEX), 16, 10
@@ -143,10 +143,12 @@ def weighted_hash_sample(
             * F.lit(float(_NUM_SPACE)),
         )
     )
+    w = F.col(weight_col).cast("double")
+    # NaN guard (r7 second review): Spark orders NaN GREATER than
+    # every number, so NaN > 0 is true and least(space, NaN) = space
+    # -- a NaN weight would be kept unconditionally instead of dropped
     return df.where(
-        F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
-        & (num < cutoff)
+        w.isNotNull() & ~F.isnan(w) & (w > 0) & (num < cutoff)
     )
 
 

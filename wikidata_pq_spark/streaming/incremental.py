@@ -192,20 +192,25 @@ def _guard_epoch_vs_manifest(out_dir: str, epoch_id: int) -> None:
     ``compacted_through``, be pruned from every read, and be GC'd by
     the next compaction. Silent data loss; fail loudly instead.
 
-    Second rung (r7 review): while a compaction lease is held, a merge
-    that REWRITES an epoch the compactor may be reading (id at or
-    below the current on-disk maximum -- an at-least-once REPLAY) is
-    also refused. Dynamic partition-overwrite is delete-then-rename,
-    not atomic, so the compactor's scan could see a transiently
-    empty/partial epoch and commit a generation silently missing those
-    rows, which the manifest then retires -- permanent loss. A merge
-    with a NEW id (above the on-disk max) is safe at ANY interleaving
-    point: the compactor never reads it and the new manifest keeps it
-    live. This check is best-effort (checked before the write, not
-    atomically with it); the operational contract remains that
-    compaction runs BETWEEN availableNow drains -- the guard converts
-    a violated contract from silent corruption into a loud error in
-    every non-racing interleaving."""
+    Second rung (r7 review, tightened by the second review pass):
+    while a compaction lease is held, EVERY merge is refused. A replay
+    of a live epoch would rewrite a partition the compactor may be
+    mid-scan on (dynamic overwrite is delete-then-rename, not atomic
+    -- a transient hole gets baked into the committed generation and
+    the rows then GC'd). And a NEW id is only safe when it lands
+    strictly AFTER the compactor's live_epochs() listing: one that
+    starts writing before/during the listing can be picked up
+    partially, compacted incomplete, and its completed dir deleted by
+    the post-commit GC (id <= the recorded watermark). The writer
+    cannot tell which side of the listing it is on, so the only sound
+    writer-side rule is to refuse whenever the lease exists. This
+    check is best-effort (checked before the write, not atomically
+    with it -- a lease acquired a microsecond later can still race);
+    the operational contract remains that compaction runs BETWEEN
+    availableNow drains. The guard converts a violated contract from
+    silent corruption into a loud error in every non-racing
+    interleaving; an at-least-once streaming writer that hits it
+    simply fails the batch and replays it after the compaction."""
     import os
 
     m = _read_manifest(out_dir)
@@ -219,16 +224,13 @@ def _guard_epoch_vs_manifest(out_dir: str, epoch_id: int) -> None:
             "original checkpoint."
         )
     if os.path.exists(_lock_path(out_dir)):
-        on_disk = _epochs_on_disk(out_dir)
-        if on_disk and int(epoch_id) <= max(on_disk):
-            raise ValueError(
-                f"epoch {epoch_id} would rewrite a live epoch (on-disk "
-                f"max {max(on_disk)}) while a compaction holds "
-                f"{_lock_path(out_dir)}: the compactor may be reading "
-                "that partition and dynamic overwrite is not atomic. "
-                "Wait for the compaction to finish (new epoch ids above "
-                "the on-disk max remain writable)."
-            )
+        raise ValueError(
+            f"a compaction holds {_lock_path(out_dir)}: merging epoch "
+            f"{epoch_id} now could be read partially by the "
+            "compactor's scan (dynamic overwrite is not atomic) and "
+            "either corrupt the committed generation or be GC'd "
+            "incomplete. Retry after the compaction finishes."
+        )
 
 
 def merge_triple_support(
@@ -534,10 +536,21 @@ def _read_manifest(out_dir: str) -> dict | None:
         )
     with open(bak) as fh:
         m = json.load(fh)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(m, fh)
-    os.replace(tmp, p)
+    # self-heal is BEST-EFFORT (r7 second review): a unique tmp name
+    # so concurrent recovering readers never clobber each other's
+    # in-flight rename, and any OSError (read-only snapshot/NFS
+    # export, full disk) is swallowed -- the read itself already
+    # succeeded from the bak.
+    tmp = f"{p}.heal.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, p)
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
     return m
 
 
@@ -684,20 +697,19 @@ def _compact(
     SINGLE-COMPACTOR, enforced by an O_EXCL lease file -- two
     concurrent ``_compact`` calls would pick the same generation id and
     interleave writes into the same partition dir, so the second call
-    REFUSES loudly instead. A concurrent streaming MERGE with a NEW
-    epoch id (above the on-disk max) is safe at any interleaving point
-    and needs no lock: the compactor never reads it, it stays live
-    under the new manifest, and it reduces together with the
-    generation -- pinned by
-    ``test_merge_interleaved_inside_compaction_commit_window``. A
-    merge that REWRITES a live epoch (an at-least-once replay) while
-    the lease is held is NOT safe -- dynamic partition-overwrite is
-    delete-then-rename, so the compactor's scan could read a
-    transient hole and bake the loss into the committed generation --
-    and is refused by the merge-side guard (see
-    ``_guard_epoch_vs_manifest``); the operational contract remains
-    compaction-between-drains, with the guard converting violations
-    into loud errors. A crash
+    REFUSES loudly instead. Concurrent streaming MERGES are refused
+    for the lease's whole lifetime by the merge-side guard (see
+    ``_guard_epoch_vs_manifest`` for the two failure shapes: replays
+    rewriting a partition mid-scan, and new epochs landing before or
+    during the live_epochs() listing that would be compacted partial
+    and then GC'd complete). An epoch that had FULLY landed before the
+    listing reduces correctly at any later point -- what the
+    protocol's epoch arithmetic guarantees is pinned by
+    ``test_epoch_landing_before_compaction_reduces_correctly``, which
+    verifies an epoch written just before compaction survives the
+    commit + GC and the rollup equals the batch reference. The
+    operational contract remains compaction-between-drains; the guard
+    converts violations into loud, replayable batch failures. A crash
     while holding the lease leaves the file behind; the next compactor
     refuses until it is removed, which is deliberate (the operator must
     confirm the dead compactor actually died before breaking its
