@@ -230,3 +230,58 @@ def test_weighted_sample_nan_weight_dropped(spark):
         ).collect()
     }
     assert got == {1}  # w=1000*0.01=10 >= 1 -> always kept; NaN/NULL dropped
+
+
+def test_hash_samplers_work_on_streaming_frames(spark, tmp_path):
+    """Both hash samplers are STATELESS row-local filters, so they
+    apply to streaming frames unchanged (r7) -- and because membership
+    is a pure function of the key, the streamed sample is IDENTICAL to
+    the batch sample of the same rows (no watermark, no state store,
+    no micro-batch dependence)."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "in")
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "w": [float(1 + i % 4) for i in range(300)],
+        }
+    )
+    # two files -> two potential micro-batches
+    spark.createDataFrame(rows[:150]).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows[150:]).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, w double").parquet(in_dir)
+    sampled = sampling.weighted_hash_sample(
+        stream, 0.15, weight_col="w", key_col="doc_id"
+    )
+    assert sampled.isStreaming
+    plain = sampling.hash_sample(stream, 0.25, key_col="doc_id")
+    out_w, out_p = str(tmp_path / "ow"), str(tmp_path / "op")
+    for df, out, ck in [
+        (sampled, out_w, str(tmp_path / "cw")),
+        (plain, out_p, str(tmp_path / "cp")),
+    ]:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch = spark.createDataFrame(rows)
+    want_w = {
+        r.doc_id
+        for r in sampling.weighted_hash_sample(
+            batch, 0.15, weight_col="w", key_col="doc_id"
+        ).collect()
+    }
+    want_p = {
+        r.doc_id for r in sampling.hash_sample(batch, 0.25, "doc_id").collect()
+    }
+    got_w = {r.doc_id for r in spark.read.parquet(out_w).collect()}
+    got_p = {r.doc_id for r in spark.read.parquet(out_p).collect()}
+    assert got_w == want_w and len(want_w) > 0
+    assert got_p == want_p and len(want_p) > 0
