@@ -61,7 +61,8 @@ LEGACY_12 = (
     "dedup_exact", "dedup_near_dup", "dedup_minhash_lsh",
     "ann_topk_bruteforce", "text_quality_score", "kg_triples",
 )
-assert set(LEGACY_12) <= set(BENCH_QUERIES), "legacy cell missing from bench"
+if not set(LEGACY_12) <= set(BENCH_QUERIES):  # survives python -O
+    raise ValueError("legacy cell missing from bench")
 
 
 def main() -> None:

@@ -540,3 +540,37 @@ def test_ensure_parallelism_single_partition_exchange_not_parallel(spark):
     target = spark.sparkContext.defaultParallelism
     assert out is not one  # repartition applied
     assert out.rdd.getNumPartitions() == target
+
+
+def test_ensure_parallelism_explicit_repartition_and_coalesce(spark):
+    """r7 second-review fix, pinned (third review: 'verified live' is
+    not a regression test): an explicit repartition(2) and a
+    post-shuffle coalesce(2) must NOT be declared parallel by the
+    conf fast path -- both take the real probe and get repartitioned
+    to the slot count. The plan-text markers the detection relies on
+    (REPARTITION_BY_NUM / a Coalesce tree node) are asserted directly,
+    so a Spark upgrade that changes formatted-plan rendering fails
+    HERE loudly instead of silently reverting the fix."""
+    from pyspark.sql import functions as F
+
+    target = spark.sparkContext.defaultParallelism
+    dedup._PROBE_CACHE.clear()
+
+    r2 = spark.range(1000).withColumn("x", F.col("id") * 2).repartition(2)
+    plan_r2 = dedup._physical_plan(r2)
+    assert "REPARTITION_BY_NUM" in plan_r2  # rendering contract
+    out = dedup.ensure_parallelism(r2)
+    assert out.rdd.getNumPartitions() == target
+
+    co = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 5).alias("k"))
+        .count()
+        .coalesce(2)
+    )
+    plan_co = dedup._physical_plan(co)
+    assert dedup.re.search(
+        r"(?m)^[\s:+\-*]*Coalesce\s*\(\d+\)\s*$", plan_co
+    )  # rendering contract
+    out2 = dedup.ensure_parallelism(co)
+    assert out2.rdd.getNumPartitions() == target

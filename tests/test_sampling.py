@@ -269,7 +269,7 @@ def test_hash_samplers_work_on_streaming_frames(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming drain timed out"
 
     batch = spark.createDataFrame(rows)
     want_w = {

@@ -1009,12 +1009,20 @@ def test_corrupt_primary_manifest_recovers_from_bak(spark, tmp_path):
         warnings.simplefilter("always")
         assert inc.live_epochs(out) == [-1]
     assert any("corrupt" in str(x.message) for x in w)
-    # self-healed: primary parses again, no warning on re-read
+    # the corrupt PRESENT primary is deliberately NOT overwritten
+    # (r7 third review: a concurrent compaction may have replaced it
+    # since the read began; blind replacement could pin reads to a
+    # stale manifest) -- reads keep serving from the bak, loudly
+    with open(p) as fh:
+        assert fh.read().startswith('{"live": [-1], "compacted_')
+    got = inc.read_triple_support(spark, out).toPandas()
+    assert got["n_support"].iloc[0] == 2
+    # an ABSENT primary still self-heals (create-exclusive)
+    os.remove(p)
+    assert inc.live_epochs(out) == [-1]
     import json
 
     assert json.load(open(p))["live"] == [-1]
-    got = inc.read_triple_support(spark, out).toPandas()
-    assert got["n_support"].iloc[0] == 2
 
     # corrupt primary AND no bak -> loud, names the parse failure
     with open(p, "w") as fh:

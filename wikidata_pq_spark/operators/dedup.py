@@ -182,7 +182,7 @@ def ngram_jaccard_pairs(
 # session never reads a stale entry, and by the conf so a mid-session
 # change invalidates; bounded LRU so a long-lived driver enumerating thousands
 # of distinct plans cannot grow it without limit.
-_PROBE_CACHE: "OrderedDict[tuple[str, int], int]" = OrderedDict()
+_PROBE_CACHE: "OrderedDict[tuple[str, str, int], int]" = OrderedDict()
 _PROBE_CACHE_MAX = 256
 
 # formatted-plan tree line for a SHUFFLE exchange: "+- Exchange (7)" /
@@ -215,9 +215,9 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     that cost ~80ms per operator invocation and opened a session-global
     AQE-off window):
 
-    1. memo hit on (applicationId, semanticHash) -- free; bench reps
-       and repeated pipeline stages re-plan the same frame, so steady
-       state is this path.
+    1. memo hit on (applicationId, shuffle-partition conf,
+       semanticHash) -- free; bench reps and repeated pipeline stages
+       re-plan the same frame, so steady state is this path.
     2. plan inspection -- a shuffle Exchange node (excluding
        SinglePartition collapses, which mean ONE partition, not many)
        puts the frame at the STATIC ``spark.sql.shuffle.partitions``
@@ -231,9 +231,22 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
        the classic LAZY conversion: partition counts come from file
        splits with zero jobs run. No conf toggle needed.
     4. any remaining stage-bearing shape (broadcast or subquery with
-       no shuffle; a SinglePartition global agg/sort) -- the shapes
-       where ``df.rdd`` under AQE would materialize upstream stages,
-       so only here the r6 AQE-toggled probe runs,
+       no shuffle; a SinglePartition global agg/sort; an explicit
+       repartition(n)/coalesce(n)) -- the shapes where ``df.rdd``
+       under AQE would materialize upstream stages, so only here the
+       r6 AQE-toggled probe runs,
+
+    Observability limit (r7 third review, applies equally to the r6
+    probe): NO pre-execution signal -- plan text, lazy RDD conversion,
+    or AQE-off probe -- can see AQE's RUNTIME partition coalescing,
+    which happens after stage materialization. With the default
+    ``parallelismFirst=true`` AQE coalesces post-shuffle partitions
+    only down to the session's parallelism floor, except for frames
+    whose partitions are below ``minPartitionSize`` (1 MB) -- i.e. the
+    tiny-frame regime. A caller feeding a UDF-expensive stage from a
+    tiny POST-SHUFFLE frame should repartition explicitly; every
+    caller inside this repo feeds scan-shaped frames, which take path
+    1/3 where the guard is exact,
        once per distinct plan per session (then memoized). The
        ms-scale session-global off-window therefore survives only for
        first-sight broadcast-shaped frames; callers embedding this

@@ -499,8 +499,11 @@ def _read_manifest(out_dir: str) -> dict | None:
     BEFORE the primary rename, so losing the primary (a copy tool that
     skips ``_``-prefixed files, a fat-fingered rm) no longer silently
     drops every compacted generation from reads -- the bak names the
-    same live set. When the fallback fires the primary is self-healed
-    (atomic tmp+replace). A bak without a primary can also mean a crash
+    same live set. An ABSENT primary is self-healed create-exclusively
+    (mkstemp + os.link, installed only if still absent); a CORRUPT but
+    present primary is served from the bak with a loud warning and
+    deliberately NOT overwritten (see the inline comments for both
+    races). A bak without a primary can also mean a crash
     BETWEEN the two writes; treating that generation as committed is
     still correct because its parquet data is complete by write order
     and its reduction equals the retired epochs it replaces."""
@@ -520,6 +523,11 @@ def _read_manifest(out_dir: str) -> dict | None:
             # every read forever (r7 review)
             primary_err = e
     bak = _manifest_bak_path(out_dir)
+
+    def m_from(path):
+        with open(path) as fh:
+            return json.load(fh)
+
     if not os.path.isfile(bak):
         if primary_err is not None:
             raise RuntimeError(
@@ -530,27 +538,40 @@ def _read_manifest(out_dir: str) -> dict | None:
         import warnings
 
         warnings.warn(
-            f"{p} was corrupt ({primary_err}); recovered from .bak and "
-            "self-healed the primary",
+            f"{p} is corrupt ({primary_err}); serving reads from .bak. "
+            "NOT overwriting the corrupt file (a concurrent compaction "
+            "may have replaced it since this read began -- blind "
+            "replacement could pin reads to a stale manifest); replace "
+            "it by hand after verifying no compactor is running.",
             stacklevel=3,
         )
-    with open(bak) as fh:
-        m = json.load(fh)
-    # self-heal is BEST-EFFORT (r7 second review): a unique tmp name
-    # so concurrent recovering readers never clobber each other's
-    # in-flight rename, and any OSError (read-only snapshot/NFS
-    # export, full disk) is swallowed -- the read itself already
-    # succeeded from the bak.
-    tmp = f"{p}.heal.{os.getpid()}.tmp"
+        return m_from(bak)
+    m = m_from(bak)
+    # primary ABSENT (vs corrupt, handled above without healing):
+    # self-heal is BEST-EFFORT and CREATE-EXCLUSIVE (r7 third review):
+    # mkstemp gives every healer -- across processes AND threads -- its
+    # own tmp file, and os.link(tmp, p) atomically installs it ONLY if
+    # the primary is still absent (link fails with FileExistsError if
+    # p exists). A blind os.replace here could install a STALE
+    # manifest over one a concurrent compaction committed after this
+    # reader loaded the bak, silently pinning reads to a GC'd
+    # generation. Any OSError (read-only snapshot/NFS export, full
+    # disk, a filesystem without link) is swallowed -- the read itself
+    # already succeeded from the bak.
+    import tempfile
+
     try:
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, p)
-    except OSError:
+        fd, tmp = tempfile.mkstemp(
+            prefix="_compaction.heal.", suffix=".tmp", dir=out_dir
+        )
         try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(m, fh)
+            os.link(tmp, p)  # atomic create-exclusive install
+        finally:
             os.remove(tmp)
-        except OSError:
-            pass
+    except OSError:
+        pass
     return m
 
 
