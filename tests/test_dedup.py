@@ -574,3 +574,86 @@ def test_ensure_parallelism_explicit_repartition_and_coalesce(spark):
     )  # rendering contract
     out2 = dedup.ensure_parallelism(co)
     assert out2.rdd.getNumPartitions() == target
+
+
+def test_prefix_filter_jaccard_equals_quadratic_baseline(docs, spark):
+    """EXACT sub-quadratic similarity join (r7, SSJoin/PPJoin family):
+    the prefix-filtered result must EQUAL the quadratic unblocked
+    baseline pair-for-pair, score-for-score -- at several thresholds
+    and on an adversarial corpus (exact dups, near dups, subsets,
+    heavy stop-word docs, singleton-token docs)."""
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(docs, t).collect()
+        }
+        want = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in dedup.token_jaccard_pairs(docs, t, block_col=None).collect()
+        }
+        assert got == want, t
+
+    # adversarial: shared stop-word mass, subset relations, tiny docs
+    common = "the of and a to in is it"
+    rows = [
+        (0, f"{common} alpha beta gamma"),
+        (1, f"{common} alpha beta delta"),
+        (2, f"{common} alpha beta gamma"),          # exact dup of 0
+        (3, common),                                 # all stop words
+        (4, f"{common} extra"),                      # superset of 3
+        (5, "zeta"),                                 # singleton token
+        (6, "zeta"),                                 # identical singleton
+        (7, "eta theta iota kappa lambda mu nu xi"),
+        (8, f"{common} {common} alpha beta gamma"),  # dup tokens of 0
+    ]
+    adv = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    for t in (0.3, 0.6, 0.8, 1.0):
+        got = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(adv, t).collect()
+        }
+        want = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in dedup.token_jaccard_pairs(adv, t, block_col=None).collect()
+        }
+        assert got == want, t
+    # sanity anchors at t=0.8: the exact-dup families survive
+    got08 = {
+        (r.a_id, r.b_id)
+        for r in dedup.prefix_filter_jaccard_pairs(adv, 0.8).collect()
+    }
+    assert {(0, 2), (5, 6), (0, 8), (2, 8)} <= got08
+
+
+def test_prefix_filter_jaccard_random_corpus_equality(spark):
+    """Seeded random corpus (overlapping vocab, varied lengths):
+    equality with the quadratic baseline at a mid threshold."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(3, 20))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(df, 0.5).collect()
+    }
+    want = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.token_jaccard_pairs(df, 0.5, block_col=None).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_prefix_filter_threshold_validation(docs):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        dedup.prefix_filter_jaccard_pairs(docs, 0.0)
+    with _pt.raises(ValueError, match="threshold"):
+        dedup.prefix_filter_jaccard_pairs(docs, 1.2)

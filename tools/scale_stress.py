@@ -171,6 +171,82 @@ def main() -> None:
         "dedup_near_dup_10x",
         lambda: dedup.near_dup_pairs(docs10, threshold=0.8).count(),
     )
+
+    # -- EXACT prefix-filter similarity join at scale (r7). NOT run on
+    # docs10: the synthetic documents table draws from a 31-token
+    # vocabulary, so ~a quarter of ALL pairs are true >=0.8 matches --
+    # the exact ANSWER is near-quadratic there and no exact algorithm
+    # can beat its own output size (prefix filtering's candidate bound
+    # comes from token RARITY, which a 31-word corpus does not have;
+    # the operator docstring states this dependence). The scale rep
+    # instead uses a REALISTIC corpus: 45k docs (35k base + 10k family
+    # copies) of 30 distinct tokens
+    # drawn Zipf-ish (1/rank^0.7) from a 20k-word vocabulary, with
+    # 3-doc near-dup families planted at every 7th base doc (one token
+    # swapped per copy: J(base,copy)=29/31; J(copy,copy)=28/32 or
+    # 29/31, all >= 0.8). Invariants: every planted pair is found
+    # (exactness has no recall knob), and the probabilistic LSH+verify
+    # path's pairs on the SAME corpus are a SUBSET (LSH can only miss;
+    # its verify stage is the identical exact filter).
+    import numpy as _np
+
+    zrng = _np.random.default_rng(7)
+    VOCAB, PER_DOC, N_BASE = 20_000, 30, 35_000
+    zw = 1.0 / _np.arange(1, VOCAB + 1) ** 0.7
+    zw /= zw.sum()
+    zvocab = _np.array([f"w{i}" for i in range(VOCAB)])
+    zrows, fam_pairs, cc_pairs = [], [], []
+    did = 0
+    for i in range(N_BASE):
+        toks = zvocab[zrng.choice(VOCAB, size=PER_DOC, replace=False, p=zw)]
+        base_id = did
+        zrows.append((did, " ".join(toks)))
+        did += 1
+        if i % 7 == 0:
+            copy_ids = []
+            for c in ("a", "b"):
+                mutated = toks.copy()
+                mutated[zrng.integers(0, PER_DOC)] = f"fam{i}{c}"
+                zrows.append((did, " ".join(mutated)))
+                fam_pairs.append((base_id, did))
+                copy_ids.append(did)
+                did += 1
+            cc_pairs.append((copy_ids[0], copy_ids[1]))
+    zdocs = spark.createDataFrame(
+        _pd.DataFrame(zrows, columns=["doc_id", "text"])
+    ).localCheckpoint()
+    n_zdocs = zdocs.count()
+    planted = spark.createDataFrame(
+        _pd.DataFrame(fam_pairs + cc_pairs, columns=["a_id", "b_id"])
+    ).localCheckpoint()
+    n_planted = planted.count()
+
+    def _prefix_exact():
+        exact_pairs = dedup.prefix_filter_jaccard_pairs(
+            zdocs, threshold=0.8
+        ).select("a_id", "b_id").localCheckpoint()
+        missing_planted = planted.exceptAll(exact_pairs).count()
+        if missing_planted != 0:
+            raise RuntimeError(
+                f"exact prefix join missed {missing_planted} planted pairs"
+            )
+        lsh_missing = (
+            dedup.near_dup_pairs(zdocs, threshold=0.8)
+            .select("a_id", "b_id")
+            .exceptAll(exact_pairs)
+            .count()
+        )
+        if lsh_missing != 0:
+            raise RuntimeError(
+                f"exact prefix join missed {lsh_missing} LSH-verified pairs"
+            )
+        return exact_pairs.count()
+
+    step("dedup_prefix_exact_zipf", _prefix_exact)
+    results["dedup_prefix_exact_zipf"].update(
+        {"corpus_docs": n_zdocs, "vocab": VOCAB,
+         "planted_pairs": n_planted, "families": len(cc_pairs)}
+    )
     n_embs = embs10.count()
     step(
         "ann_ivf_10x",

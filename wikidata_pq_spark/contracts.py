@@ -1175,6 +1175,20 @@ def q_samp_reservoir(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_dedup_prefix_jaccard(spark, sf):
+    """EXACT sub-quadratic Jaccard join via prefix filtering (r7,
+    SSJoin/PPJoin family): all pairs with J >= 0.8, corpus-wide, no
+    blocking, no LSH recall loss. Oracle: the full quadratic exact
+    Jaccard self-join in SQL -- the operator must return EXACTLY the
+    quadratic answer (prefix lemma guarantees no false negatives; the
+    verify stage no false positives)."""
+    from .operators import dedup
+
+    return dedup.prefix_filter_jaccard_pairs(
+        load(spark, sf, "documents"), threshold=0.8
+    )
+
+
 def q_samp_weighted(spark, sf):
     """Deterministic weighted Bernoulli sampling (r7): P(keep) =
     min(1, f * length(text)) with md5-hash membership, compared in the
@@ -1638,10 +1652,10 @@ EXTRA_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "text_repetition_ratio": q_repetition_ratio,
     "x_curate_corpus": q_curate_corpus,
-    # -- r7 new operator: quality-weighted deterministic sampling
-    #    (born in EXTRA like every new family; window seat at the next
-    #    rotation once it has local-gate history)
+    # -- r7 new operators (born in EXTRA like every new family; window
+    #    seats at the next rotation once they have local-gate history)
     "samp_weighted": q_samp_weighted,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
 }
 
 # --------------------------------------------------------------------------
@@ -1912,6 +1926,20 @@ ORACLE_SQL = {
                round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                      len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    """,
+    # prefix-filter cell: the oracle is the FULL quadratic exact
+    # Jaccard self-join (no blocking) -- sub-quadratic candidate
+    # generation must not change the answer by one pair
+    "dedup_prefix_jaccard": f"""
+        WITH t AS (SELECT doc_id,
+                          list_sort(list_distinct({_TOKS})) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
         WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                     len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
     """,

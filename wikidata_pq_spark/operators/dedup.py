@@ -478,6 +478,86 @@ def _token_sets(
     return base.withColumn("n", F.size("toks"))
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT sub-quadratic Jaccard similarity join via PREFIX FILTERING
+    (the SSJoin/PPJoin family -- Chaudhuri et al. ICDE'06, Bayardo et
+    al. WWW'07): every pair with jaccard >= threshold, corpus-wide, no
+    blocking key and NO probabilistic recall loss -- the deterministic
+    complement to the MinHash-LSH path when exactness is required
+    (contractual dedup, eval decontamination audits).
+
+    How it stays sub-quadratic: order every document's distinct tokens
+    by ONE global total order, ascending global frequency with the
+    token string as tie-break (rarest first). For a pair with
+    J(A,B) >= t, the size filter min/max >= t gives
+    |A intersect B| >= t(|A|+|B|)/(1+t) >= ceil(t*|x|) for BOTH sides,
+    and the prefix lemma then guarantees the two documents share a
+    token inside their first ``|x| - ceil(t*|x|) + 1`` tokens. So only
+    those short prefixes are exploded and equi-joined -- per document
+    that is ~(1-t)*n + 1 tokens (6 of 50 at t=0.9), and because the
+    order is frequency-ASCENDING the join keys are each document's
+    RAREST tokens, which is exactly what bounds bucket fan-out (a stop
+    word is only ever a prefix token for documents consisting almost
+    entirely of stop words). Candidates then flow through the same
+    exact verify stage as the LSH path. At 100 TB: one token-frequency
+    aggregate, one explode of the prefixes, one equi-join on rare
+    tokens, one verify join -- linear scans plus candidate-bounded
+    joins, never an all-pairs product (plan-golden pinned).
+
+    Guarantees no false negatives (prefix lemma + size filter) and no
+    false positives (exact verify): the result EQUALS the quadratic
+    baseline ``token_jaccard_pairs(block_col=None)`` -- pytest-pinned
+    on adversarial corpora and DuckDB-oracle-checked at the gate sf.
+
+    Cost is OUTPUT-SENSITIVE, like every exact similarity join: the
+    candidate bound comes from token rarity, so on a low-entropy
+    corpus (the synthetic gate table draws from a 31-word vocabulary,
+    making ~a quarter of ALL pairs true matches) candidates -- and the
+    answer itself -- are near-quadratic, and the LSH path's
+    recall/cost trade is the right tool instead. On realistic
+    vocabularies the prefixes are rare tokens and the join stays
+    near-linear: the 10x stress runs a 45k-doc 20k-word Zipf corpus
+    with planted families and checks both planted-pair completeness
+    and containment of the LSH path's result
+    (``BENCH/stress10x_r07.json``, ``dedup_prefix_exact_zipf``).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.distinct_tokens(F.col(text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("arr"))
+        .withColumn("n", F.size("arr"))
+        .withColumn(
+            "p",
+            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+        )
+    )
+    prefix = ordered.select(
+        "id", "n", F.explode(F.slice("arr", F.lit(1), F.col("p"))).alias("pt")
+    )
+    a = prefix.select(F.col("id").alias("a_id"), F.col("n").alias("a_n"), "pt")
+    b = prefix.select(F.col("id").alias("b_id"), F.col("n").alias("b_n"), "pt")
+    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= threshold
+    cands = (
+        a.join(b, "pt")
+        .where((F.col("a_id") < F.col("b_id")) & size_ok)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return verify_jaccard_pairs(df, cands, threshold, text_col, id_col)
+
+
 def verify_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

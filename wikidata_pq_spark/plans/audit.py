@@ -141,6 +141,14 @@ CHECKS = {
         [r"Filter", r"Window"],
         [r"CartesianProduct", r"MapInPandas", r"BatchEvalPython"],
     ),
+    # prefix-filter exact Jaccard join (r7): candidate generation is
+    # explode-prefixes + equi-join on the (rarest-first) prefix token
+    # -- Generate + hash joins, NEVER an all-pairs product, no Python
+    "dedup_prefix_jaccard": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas",
+         r"BatchEvalPython"],
+    ),
     # hash sampling (r7): the md5 cutoff is a row-local Filter in the
     # scan's own stage -- the WHOLE plan is exchange-free, python-free,
     # agg-free (scan -> filter -> project and nothing else), and the
