@@ -657,3 +657,30 @@ def test_prefix_filter_threshold_validation(docs):
         dedup.prefix_filter_jaccard_pairs(docs, 0.0)
     with _pt.raises(ValueError, match="threshold"):
         dedup.prefix_filter_jaccard_pairs(docs, 1.2)
+
+
+def test_prefix_filter_float_ceil_boundary(spark):
+    """r7 fourth review: double(0.55)*100 = 55.000...01, so a naive
+    float ceil computes 56 and SHORTENS the prefix by one -- dropping a
+    true J=0.55 pair whose only shared prefix token sits exactly at
+    position 46. Constructed corpus: A = 45 unique tokens + 55 shared,
+    B = the 55 shared tokens (J = 55/100 = 0.55); frequency-ascending
+    order puts A's unique (freq-1) tokens first, so A's prefix must
+    reach position 46 to touch the first shared token."""
+    uniq = " ".join(f"u{i:02d}" for i in range(45))
+    shared = " ".join(f"s{i:02d}" for i in range(55))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, f"{uniq} {shared}"), (1, shared)],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(df, 0.55).collect()
+    }
+    want = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.token_jaccard_pairs(df, 0.55, block_col=None).collect()
+    }
+    assert got == want == {(0, 1, 0.55)}

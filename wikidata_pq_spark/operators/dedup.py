@@ -235,6 +235,13 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
        repartition(n)/coalesce(n)) -- the shapes where ``df.rdd``
        under AQE would materialize upstream stages, so only here the
        r6 AQE-toggled probe runs,
+       once per distinct plan per session (then memoized). The
+       ms-scale session-global off-window therefore survives only for
+       first-sight frames of these shapes; callers embedding this
+       library in a MULTI-THREADED driver should note that another
+       thread planning a query inside that window plans without AQE
+       (single-threaded drivers -- every pipeline in this repo -- are
+       unaffected).
 
     Observability limit (r7 third review, applies equally to the r6
     probe): NO pre-execution signal -- plan text, lazy RDD conversion,
@@ -245,15 +252,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     whose partitions are below ``minPartitionSize`` (1 MB) -- i.e. the
     tiny-frame regime. A caller feeding a UDF-expensive stage from a
     tiny POST-SHUFFLE frame should repartition explicitly; every
-    caller inside this repo feeds scan-shaped frames, which take path
-    1/3 where the guard is exact,
-       once per distinct plan per session (then memoized). The
-       ms-scale session-global off-window therefore survives only for
-       first-sight broadcast-shaped frames; callers embedding this
-       library in a MULTI-THREADED driver should note that another
-       thread planning a query inside that window plans without AQE
-       (single-threaded drivers -- every pipeline in this repo -- are
-       unaffected).
+    caller inside this repo feeds scan-shaped frames, which take paths
+    1/3 where the guard is exact.
     """
     if df.isStreaming:
         return df
@@ -483,6 +483,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """EXACT sub-quadratic Jaccard similarity join via PREFIX FILTERING
     (the SSJoin/PPJoin family -- Chaudhuri et al. ICDE'06, Bayardo et
@@ -528,9 +529,25 @@ def prefix_filter_jaccard_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(TX.distinct_tokens(F.col(text_col))).alias("tok"),
+    # candidate-stage threshold slack (r7 fourth review): the verify
+    # stage accepts round(J, 6) >= t, i.e. true J down to t - 5e-7, so
+    # every candidate-side bound (overlap/prefix and the size-ratio
+    # prefilter) must be derived from that EFFECTIVE threshold or a
+    # boundary pair the verify (and the quadratic baseline) would keep
+    # is never generated. The further 1e-9 guard counters float64
+    # round-UP in ceil (double(0.55)*100 = 55.000...01 -> ceil 56
+    # would SHORTEN the prefix by one); both slacks can only lengthen
+    # the prefix / loosen the prefilter -- the safe direction.
+    t_eff = threshold - 5e-7
+    # tokenize ONCE: the (id, toks) frame feeds the frequency
+    # aggregate, the per-doc ordering, and the verify stage (three
+    # consumers -- without the shared frame the corpus was scanned six
+    # times; the near_dup_pairs discipline)
+    tok_frame = tokenized(df, text_col, id_col)
+    if truncate_lineage:
+        tok_frame = tok_frame.localCheckpoint(eager=False)
+    toks = tok_frame.select(
+        "id", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     ordered = (
@@ -540,22 +557,31 @@ def prefix_filter_jaccard_pairs(
         .withColumn("n", F.size("arr"))
         .withColumn(
             "p",
-            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+            F.col("n")
+            - F.ceil(F.lit(t_eff) * F.col("n") - F.lit(1e-9)).cast("int")
+            + 1,
         )
     )
     prefix = ordered.select(
         "id", "n", F.explode(F.slice("arr", F.lit(1), F.col("p"))).alias("pt")
     )
+    # the exploded prefix frame feeds BOTH legs of the self-join:
+    # truncate its lineage so the tokenize->freq->sort chain is
+    # planned (and run) once, not once per leg
+    if truncate_lineage:
+        prefix = prefix.localCheckpoint(eager=False)
     a = prefix.select(F.col("id").alias("a_id"), F.col("n").alias("a_n"), "pt")
     b = prefix.select(F.col("id").alias("b_id"), F.col("n").alias("b_n"), "pt")
-    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= threshold
+    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= F.lit(t_eff)
     cands = (
         a.join(b, "pt")
         .where((F.col("a_id") < F.col("b_id")) & size_ok)
         .select("a_id", "b_id")
         .distinct()
     )
-    return verify_jaccard_pairs(df, cands, threshold, text_col, id_col)
+    return verify_jaccard_pairs(
+        df, cands, threshold, text_col, id_col, tokens_df=tok_frame
+    )
 
 
 def verify_jaccard_pairs(

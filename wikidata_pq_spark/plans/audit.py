@@ -278,6 +278,20 @@ def _triangles_raw(spark, sf):
     return graph.triangles(chain.union(skip), truncate_lineage=False)
 
 
+def _dedup_prefix_raw(spark, sf):
+    """prefix_filter_jaccard_pairs truncates lineage on the shared
+    token frame and the exploded prefix (three consumers); audit the
+    untruncated plan so the tokenize -> freq -> sort -> explode ->
+    join shape stays visible."""
+    from .. import contracts
+    from ..operators import dedup
+
+    docs = contracts.load(spark, sf, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, threshold=0.8, truncate_lineage=False
+    )
+
+
 def _samp_hash_raw(spark, sf):
     """Raw hash_sample over the documents scan: the plan must be a
     single exchange-free map stage (scan -> filter -> project)."""
@@ -365,6 +379,7 @@ BUILDERS = {
     "graph_khop": _graph_khop_raw,
     "kg_comention_edges": _comention_raw,
     "graph_triangles": _triangles_raw,
+    "dedup_prefix_jaccard": _dedup_prefix_raw,
     "samp_hash": _samp_hash_raw,
     "samp_weighted": _samp_weighted_raw,
     "samp_reservoir": _samp_reservoir_raw,

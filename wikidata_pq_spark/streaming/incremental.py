@@ -516,7 +516,7 @@ def _read_manifest(out_dir: str) -> dict | None:
         try:
             with open(p) as fh:
                 return json.load(fh)
-        except (json.JSONDecodeError, ValueError) as e:
+        except (json.JSONDecodeError, ValueError, OSError) as e:
             # a CORRUPT primary (truncated copy, partial write by a
             # non-atomic tool) is exactly the failure class the bak
             # exists for -- fall through to it rather than failing
@@ -567,6 +567,10 @@ def _read_manifest(out_dir: str) -> dict | None:
         try:
             with os.fdopen(fd, "w") as fh:
                 json.dump(m, fh)
+            # mkstemp creates 0600; match the compactor's manifest mode
+            # so OTHER-user readers of a shared store can still open
+            # the healed primary (r7 fourth review)
+            os.chmod(tmp, 0o644)
             os.link(tmp, p)  # atomic create-exclusive install
         finally:
             os.remove(tmp)
