@@ -104,7 +104,14 @@ def token_jaccard_pairs(
     # size-ratio prefilter: jaccard >= t implies min/max set size >= t --
     # a scalar predicate that prunes pairs BEFORE any array intersection
     # (no effect on the result set, large effect on the dominant cost).
-    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= threshold
+    # The 5e-7 slack (r7 fifth review) matches the final round(J,6) >= t
+    # acceptance, which admits true J down to t - 5e-7: without it a
+    # boundary pair (reachable only at multi-million-token set sizes)
+    # would pass the rounded verify but be dropped here, diverging from
+    # the size-filter-free oracle and the prefix-filter path.
+    size_ok = (
+        F.least("a_n", "b_n") / F.greatest("a_n", "b_n")
+    ) >= F.lit(threshold - 5e-7)
     pairs = a.join(b, "blk").filter((F.col("a_id") < F.col("b_id")) & size_ok)
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.col("a_n") + F.col("b_n") - inter
@@ -163,7 +170,10 @@ def ngram_jaccard_pairs(
         F.col("id").alias("b_id"), "blk", F.col("sh").alias("b_sh"),
         F.col("nsh").alias("b_n"),
     )
-    size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= threshold
+    # same rounding-boundary slack as token_jaccard_pairs (see there)
+    size_ok = (
+        F.least("a_n", "b_n") / F.greatest("a_n", "b_n")
+    ) >= F.lit(threshold - 5e-7)
     pairs = a.join(b, "blk").filter(
         (F.col("a_id") < F.col("b_id")) & size_ok & (F.col("a_n") > 0) & (F.col("b_n") > 0)
     )

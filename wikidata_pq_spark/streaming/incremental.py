@@ -567,10 +567,12 @@ def _read_manifest(out_dir: str) -> dict | None:
         try:
             with os.fdopen(fd, "w") as fh:
                 json.dump(m, fh)
-            # mkstemp creates 0600; match the compactor's manifest mode
-            # so OTHER-user readers of a shared store can still open
-            # the healed primary (r7 fourth review)
-            os.chmod(tmp, 0o644)
+            # mkstemp creates 0600; copy the bak's actual mode (what
+            # the compactor's open()+umask produced) so the healed
+            # primary is exactly as readable as every other manifest --
+            # neither locked to 0600 nor blanket-0644 under a
+            # restrictive umask (r7 fifth review)
+            os.chmod(tmp, os.stat(bak).st_mode & 0o777)
             os.link(tmp, p)  # atomic create-exclusive install
         finally:
             os.remove(tmp)
