@@ -657,3 +657,33 @@ def test_lpa_two_cliques_form_two_communities(spark):
     y_labels = {labels[f"Y{i}"] for i in range(5)}
     assert len(x_labels) == 1 and len(y_labels) == 1
     assert x_labels != y_labels
+
+
+def test_lpa_early_exit_equals_fixed_rounds(spark):
+    """r8 early-exit returns EXACTLY the fixed-round labels on both an
+    oscillating (bipartite path: period-2 cycle, both remaining-round
+    parities) and a converging (clique: fixed point) graph."""
+    from wikidata_pq_spark.operators import graph
+
+    # bipartite-ish path graph oscillates under synchronous LPA
+    path = [(f"P{i}", f"P{i+1}") for i in range(8)]
+    # clique converges to a fixed point quickly
+    clique = [
+        (f"K{i}", f"K{j}") for i in range(5) for j in range(i + 1, 5)
+    ]
+    for edges in (path, clique, path + clique):
+        sdf = spark.createDataFrame(edges, "src_id string, dst_id string")
+        for iters in (7, 10):  # odd and even remaining-round parity
+            fixed = {
+                (r.node_id, r.label)
+                for r in graph.label_propagation(
+                    sdf, iters=iters, early_exit=False
+                ).collect()
+            }
+            fast = {
+                (r.node_id, r.label)
+                for r in graph.label_propagation(
+                    sdf, iters=iters, early_exit=True
+                ).collect()
+            }
+            assert fast == fixed, (iters, len(edges))

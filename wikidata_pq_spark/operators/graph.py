@@ -724,6 +724,7 @@ def label_propagation(
     src: str = "src_id",
     dst: str = "dst_id",
     truncate_lineage: bool = True,
+    early_exit: bool = True,
 ) -> DataFrame:
     """Deterministic synchronous label propagation: (node_id, label)
     community assignments over the undirected graph.
@@ -734,9 +735,28 @@ def label_propagation(
     SYNCHRONOUS round relabels every node with its neighbors' majority
     label, ties broken by MINIMUM label (so the winner is unique and
     engine-independent). Fixed ``iters`` bounds cost exactly like
-    pagerank's -- convergence detection would add a global aggregate
-    per round, and oscillation on bipartite structures makes "run to
-    convergence" ill-defined for the synchronous variant anyway.
+    pagerank's.
+
+    ``early_exit`` (r8, the CC-convergence discipline of
+    canonicalize.connected_components) stops iterating as soon as the
+    remaining rounds are provably replayable without running them,
+    RETURNING EXACTLY the round-``iters`` labels in both cases:
+
+    - fixed point: labels(t) == labels(t-1) => every later round
+      repeats labels(t);
+    - 2-cycle: labels(t) == labels(t-2) => the synchronous update
+      (a pure function of the previous frame) alternates
+      labels(t-1)/labels(t) forever, so labels(iters) is labels(t)
+      when iters-t is even, labels(t-1) when odd. Synchronous LPA
+      oscillates with period 2 on bipartite-ish structures -- without
+      this case a non-converging graph would pay all ``iters`` rounds
+      even though its tail is a replay (the bench graph 2-cycles by
+      round 5; rounds 6-10 were pure re-execution).
+
+    Both checks ride ONE small aggregate per round over the label
+    frames (O(nodes), never O(edges)); per-round cost is otherwise
+    unchanged. ``early_exit=False`` restores the fixed-round replay
+    (plan-audit mode).
 
     Scale shape per round: one equi-join of the label frame (O(nodes))
     against the undirected edge frame on the neighbor key, one
@@ -757,18 +777,45 @@ def label_propagation(
     )
     if truncate_lineage:
         labels = labels.localCheckpoint(eager=False)
-    for _ in range(iters):
+    prev = None  # labels(t-2), for the 2-cycle check
+    for i in range(iters):
         votes = und.join(
             labels.select(F.col("node_id").alias("_v"), "label"), "_v"
         ).select(F.col("_u").alias("node_id"), "label")
         counts = votes.groupBy("node_id", "label").agg(
             F.count(F.lit(1)).alias("_cnt")
         )
-        labels = (
+        new = (
             counts.groupBy("node_id")
             .agg(F.min(F.struct((-F.col("_cnt")).alias("_neg"), F.col("label"))).alias("_w"))
             .select("node_id", F.col("_w.label").alias("label"))
         )
         if truncate_lineage:
-            labels = labels.localCheckpoint(eager=False)
+            new = new.localCheckpoint(eager=False)
+        if early_exit:
+            # every node keeps a row every round (each has >= 1 und
+            # neighbor by construction), so inner joins are total.
+            # One action: also materializes `new`'s checkpoint.
+            cmp = new.select("node_id", F.col("label").alias("_ln")).join(
+                labels.select("node_id", F.col("label").alias("_l1")),
+                "node_id",
+            )
+            aggs = [
+                F.max((F.col("_ln") != F.col("_l1")).cast("int")).alias("d1")
+            ]
+            if prev is not None:
+                cmp = cmp.join(
+                    prev.select("node_id", F.col("label").alias("_l2")),
+                    "node_id",
+                )
+                aggs.append(
+                    F.max((F.col("_ln") != F.col("_l2")).cast("int")).alias("d2")
+                )
+            row = cmp.agg(*aggs).collect()[0]
+            if row["d1"] == 0 or row["d1"] is None:
+                return new  # fixed point (or empty graph)
+            if prev is not None and row["d2"] == 0:
+                remaining = iters - (i + 1)
+                return new if remaining % 2 == 0 else labels
+        prev, labels = labels, new
     return labels
