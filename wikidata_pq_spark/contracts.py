@@ -1230,7 +1230,13 @@ def q_sk_heavy_hitters(spark, sf):
     if _is_gate_sf(sf):
         _export_golden(hh.toPandas(), "heavy_hitters_mg")
     exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = toks.groupBy().agg(F.count(F.lit(1)).alias("n_tot"))
+    # n_tot derived from the exact aggregate instead of a third full
+    # tokenize+explode pass over the corpus (r8, guide "do fewer
+    # passes"): sum of per-key counts == the toks row count by
+    # definition (toks is already key-filtered), so the value -- and
+    # the cell's output -- is identical; coalesce covers the empty
+    # corpus, where group-less count() yielded 0.
+    tot = exact.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_tot"))
     j = hh.join(exact, "key", "outer").join(F.broadcast(tot), how="cross")
     return j.where(
         F.col("est").isNotNull() | (F.col("cnt") >= F.lit(0.005) * F.col("n_tot"))

@@ -131,22 +131,27 @@ def heavy_hitters(
         )
 
     parts = keyed.mapInPandas(mg, schema="key string, est long, dec long, nr long")
-    # the partials feed the key merge AND the scalar aggregate;
-    # materialize once (bounded: <= n_parts * (capacity+1) rows).
+    # ONE bounded aggregate merges the per-key estimates AND the global
+    # scalars (the per-partition marker rows collapse into the null-key
+    # group), so the sketch pass feeds a single groupBy instead of a
+    # checkpoint + two separate aggregates (r8: one less job over the
+    # partials; values are the identical sums either way). The tiny
+    # merged frame (<= capacity+1 rows) is what gets materialized.
     # truncate_lineage=False exists for the plan audit only.
+    g = parts.groupBy("key").agg(
+        F.sum("est").alias("est"),
+        F.sum("dec").alias("dec"),
+        F.sum("nr").alias("nr"),
+    )
     if truncate_lineage:
-        parts = parts.localCheckpoint(eager=False)
+        g = g.localCheckpoint(eager=False)
 
-    scalars = parts.agg(
+    scalars = g.where(F.col("key").isNull()).agg(
         F.coalesce(F.sum("dec"), F.lit(0)).alias("max_undercount"),
         F.coalesce(F.sum("nr"), F.lit(0)).alias("n_total"),
     )
 
-    merged = (
-        parts.where(F.col("key").isNotNull())
-        .groupBy("key")
-        .agg(F.sum("est").alias("est"))
-    )
+    merged = g.where(F.col("key").isNotNull()).select("key", "est")
     out = merged.join(F.broadcast(scalars), how="cross")
     # completeness-safe filter: keep iff the key's UPPER bound clears
     # the threshold -- a dropped key provably has true < min_share*n
