@@ -553,9 +553,17 @@ def q_dedup_near_dup(spark, sf):
     given candidates, so this value-hash-checks even though LSH banding
     itself is probabilistic."""
     d = load(spark, sf, "documents")
-    cands = dedup.minhash_lsh_candidates(d)
-    cands = _export_candidates(cands, "dedup_near_dup_cands", sf)
-    return dedup.verify_jaccard_pairs(d, cands, threshold=0.8)
+    # near_dup_pairs tokenizes the corpus ONCE (persisted token frame
+    # shared by the signature path and both verify legs -- r8: the
+    # previous inline composition re-tokenized the text three times);
+    # the gate's export-candidates round-trip rides the hook.
+    return dedup.near_dup_pairs(
+        d,
+        threshold=0.8,
+        candidates_transform=lambda c: _export_candidates(
+            c, "dedup_near_dup_cands", sf
+        ),
+    )
 
 
 def q_embedding_near_pairs(spark, sf):

@@ -637,6 +637,7 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int = 10_000,
     return_audit: bool = False,
+    candidates_transform=None,
 ):
     """THE headline near-dup operator: MinHash-LSH candidates -> exact
     Jaccard verify (a_id < b_id, jaccard >= threshold).
@@ -703,6 +704,12 @@ def near_dup_pairs(
     )
     if return_audit:
         cands, audit = cands
+    if candidates_transform is not None:
+        # seam for callers that must materialize/round-trip the
+        # candidate set between the stages (the contract gate's
+        # export-candidates pattern) without giving up the shared
+        # token frame
+        cands = candidates_transform(cands)
     pairs = verify_jaccard_pairs(
         df, cands, threshold=threshold, text_col=text_col, id_col=id_col,
         tokens_df=tok,

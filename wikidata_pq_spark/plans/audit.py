@@ -390,9 +390,17 @@ BUILDERS = {
 
 def build(spark: SparkSession, name: str, sf: str) -> DataFrame:
     """The audited DataFrame for a check name (raw builder where the
-    contract query hides its plan behind a checkpoint)."""
+    contract query hides its plan behind a checkpoint).
+
+    Starts from an empty block cache: a query built EARLIER in the same
+    session may have persisted a shared frame (e.g. near_dup's token
+    frame), and the CacheManager would splice InMemoryTableScan nodes
+    into any later plan containing that subtree -- making the audited
+    shape depend on build ORDER rather than on the query (r8). Audits
+    pin the cold shape; caching is value-neutral."""
     from .. import contracts
 
+    spark.catalog.clearCache()
     if name in BUILDERS:
         return BUILDERS[name](spark, sf)
     fn = contracts.QUERIES.get(name) or contracts.EXTRA_QUERIES[name]
