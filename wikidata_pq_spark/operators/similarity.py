@@ -72,7 +72,20 @@ def brute_force_topk(
     if q_ok.all():
         qmat = np.array(qpd["qvec"].tolist(), dtype=np.float64)
         if (np.linalg.norm(qmat, axis=1) > 0).all():
-            if qmat.size > LITERAL_ASSIGN_BUDGET:
+            # dispatch on TOTAL scoring work, not just the query-matrix
+            # size (r8): the fold path pays an interpreted
+            # n_queries x dim HOF fold PER CORPUS ROW, so a small query
+            # set over a large corpus is exactly the regime the BLAS
+            # path exists for (measured at 20k x 64: fold 2.2s vs
+            # matmul 0.8s, outputs set-identical on every testdata sf).
+            # The corpus count is one parquet metadata-count job, only
+            # paid when the query-matrix check alone doesn't decide.
+            # Dictionary-sized corpora (the value-gate sfs) stay on the
+            # bit-exact fold path.
+            if (
+                qmat.size > LITERAL_ASSIGN_BUDGET
+                or qmat.size * emb.count() > SCORING_WORK_BUDGET
+            ):
                 return _brute_force_topk_matmul(emb, qpd, k, id_col, vec_col)
     # norms are computed ONCE per row BEFORE the pair join (r5): the
     # per-pair expression is then a single array fold (the dot) instead
@@ -222,6 +235,14 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 # 16x64 quantizer and every lsh_bucket_col plane set) and routes
 # anything bigger to BLAS.
 LITERAL_ASSIGN_BUDGET = 2048
+
+# Above this much total pair-scoring work (query floats x corpus rows),
+# brute_force_topk routes to the BLAS batch path even when the query
+# matrix itself is literal-sized: per-pair cost is an interpreted HOF
+# fold either way, so total work -- not matrix size -- is what the
+# boundary must bound. 512k keeps every dictionary-sized gate corpus
+# (<= a few hundred rows) on the bit-exact fold path.
+SCORING_WORK_BUDGET = 512_000
 
 
 # one broadcast per distinct matrix content per SparkContext: repeated
