@@ -590,7 +590,8 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     return verify_jaccard_pairs(
-        df, cands, threshold, text_col, id_col, tokens_df=tok_frame
+        df, cands, threshold, text_col, id_col, tokens_df=tok_frame,
+        assume_distinct=True,
     )
 
 
@@ -601,6 +602,7 @@ def verify_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_df: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verify stage over candidate pairs (a_id, b_id).
 
@@ -609,6 +611,13 @@ def verify_jaccard_pairs(
     the corpus) and keeps pairs with jaccard >= threshold. Deterministic
     given the candidate set, so it oracle-checks exactly even when the
     candidate generator is probabilistic.
+
+    ``assume_distinct`` (r8): callers whose candidate frame is distinct
+    BY CONSTRUCTION (minhash_lsh_candidates and the prefix-filter path
+    both end in .distinct()) skip the defensive re-distinct -- one
+    exchange + aggregate less on the composed operators; the default
+    keeps the dedupe for arbitrary caller input (a duplicated pair
+    would otherwise duplicate an output row).
     """
     base = _token_sets(df, text_col, id_col, tokens_df=tokens_df)
     a = base.select(
@@ -617,7 +626,10 @@ def verify_jaccard_pairs(
     b = base.select(
         F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("n").alias("b_n")
     )
-    pairs = candidates.select("a_id", "b_id").distinct().join(a, "a_id").join(b, "b_id")
+    pairs = candidates.select("a_id", "b_id")
+    if not assume_distinct:
+        pairs = pairs.distinct()
+    pairs = pairs.join(a, "a_id").join(b, "b_id")
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.col("a_n") + F.col("b_n") - inter
     jac = inter / union
@@ -712,7 +724,7 @@ def near_dup_pairs(
         cands = candidates_transform(cands)
     pairs = verify_jaccard_pairs(
         df, cands, threshold=threshold, text_col=text_col, id_col=id_col,
-        tokens_df=tok,
+        tokens_df=tok, assume_distinct=True,
     )
     return (pairs, audit) if return_audit else pairs
 
