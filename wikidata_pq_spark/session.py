@@ -39,6 +39,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deliberate join-strategy choice (r8, optimization guide 3.1):
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold, and let AQE rewrite a planned SMJ to
+        # shuffled-hash at RUNTIME whenever every post-shuffle map
+        # output is under 64 MB -- a per-partition bound, so it is
+        # scale-independent (a 100 TB join with 100 MB partitions keeps
+        # sort-merge; the rewrite only fires when the build side
+        # provably fits task memory). Measured on the checkpointed
+        # candidate/band self-joins (no stats -> planner defaulted to
+        # SMJ + double sort): minhash-LSH 2.6s -> 2.2s, near-dup
+        # 3.3s -> 2.8s at sf1.0/local[32]. AQE skew-join splitting
+        # (above) applies to shuffled-hash joins as well.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Cap Arrow batches so a hot conversation group cannot OOM a
