@@ -39,9 +39,33 @@ def main() -> None:
         action="store_true",
         help="after draining, reduce all live epoch partials into one "
         "compacted generation (crash-safe manifest protocol; the view "
-        "is unchanged, the store shrinks)",
+        "is unchanged, the store shrinks); also sweeps quarantined "
+        "generations older than --quarantine-keep compactions",
+    )
+    p.add_argument(
+        "--quarantine-keep",
+        type=int,
+        default=8,
+        help="retention horizon for --compact's quarantine sweep, in "
+        "committed compactions (default 8)",
+    )
+    p.add_argument(
+        "--break-lease",
+        action="store_true",
+        help="before doing anything else, reclaim a CRASHED compactor's "
+        "lease on --out (refuses loudly unless the recorded holder is "
+        "provably dead: same host and the pid is gone, or the host has "
+        "rebooted since the stamp)",
     )
     args = p.parse_args()
+
+    if args.break_lease:
+        from wikidata_pq_spark.streaming import incremental as _inc
+
+        # runs before the streaming drain so a wedged store can be
+        # unwedged and resumed in one submission; raises (job fails
+        # loudly) when the holder may still be alive
+        print(json.dumps({"break_lease": _inc.break_lease(args.out)}))
 
     spark = SparkSession.builder.appName("maintain_beliefs").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -68,7 +92,8 @@ def main() -> None:
 
         if os.path.isdir(args.out):
             out["compaction"] = inc.compact_current_beliefs(
-                spark, args.out, n_buckets=args.n_buckets
+                spark, args.out, n_buckets=args.n_buckets,
+                quarantine_keep=args.quarantine_keep,
             )
         else:
             out["compaction"] = {"compacted": 0, "live": []}

@@ -1102,3 +1102,236 @@ def test_crash_between_bak_and_primary_manifest_reads_committed(spark, tmp_path)
     assert inc._epochs_on_disk(out) == [-1]
     final = inc.read_triple_support(spark, out).toPandas()
     assert final["n_support"].sum() == full["n_support"].sum()
+
+
+def test_break_lease_reclaims_provably_dead_holder_only(tmp_path):
+    """r8 (VERDICT item 3): break_lease removes a crashed holder's
+    lease (same host, pid gone / host rebooted) and REFUSES when the
+    holder is alive, on another host, or unverifiable (pre-r8 bare-pid
+    stamp)."""
+    import json
+    import os
+    import socket
+    import subprocess
+
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    out = str(tmp_path / "store")
+    os.makedirs(out)
+    host = socket.gethostname()
+    boot = inc._host_boot_id()
+
+    def stamp(rec):
+        with open(inc._lock_path(out), "w") as fh:
+            fh.write(rec if isinstance(rec, str) else json.dumps(rec))
+
+    # crashed holder: a child that has already exited
+    child = subprocess.Popen(["true"])
+    child.wait()
+    stamp({"pid": child.pid, "hostname": host, "boot_id": boot})
+    st = inc.lease_status(out)
+    assert st["held"] and st["holder_dead"] is True
+    res = inc.break_lease(out)
+    assert res["broken"] and not os.path.exists(inc._lock_path(out))
+
+    # live holder (this very process): refused, file untouched
+    stamp({"pid": os.getpid(), "hostname": host, "boot_id": boot})
+    assert inc.lease_status(out)["holder_dead"] is False
+    with _pt.raises(RuntimeError, match="ALIVE"):
+        inc.break_lease(out)
+    assert os.path.exists(inc._lock_path(out))
+
+    # another machine's holder: unverifiable, refused
+    stamp({"pid": 1234, "hostname": host + "-other", "boot_id": "x"})
+    assert inc.lease_status(out)["holder_dead"] is None
+    with _pt.raises(RuntimeError, match="cannot be verified"):
+        inc.break_lease(out)
+
+    # pre-r8 bare-pid stamp: no host identity, refused
+    stamp("99999")
+    assert inc.lease_status(out)["holder_dead"] is None
+    with _pt.raises(RuntimeError, match="cannot be verified"):
+        inc.break_lease(out)
+
+    # rebooted-host shape: same hostname, different boot id -> dead
+    # even if some unrelated live pid now wears the number
+    stamp({"pid": os.getpid(), "hostname": host, "boot_id": "stale-boot"})
+    if boot is not None:
+        assert inc.lease_status(out)["holder_dead"] is True
+        assert inc.break_lease(out)["broken"]
+
+    # no lease at all: no-op
+    assert inc.break_lease(out)["broken"] is False
+
+
+def test_merge_refusal_unchanged_while_dead_holder_lease_held(spark, tmp_path):
+    """The merge-side guard refuses on lease EXISTENCE, never on
+    holder liveness -- reclaiming is the operator's explicit act."""
+    import json
+    import os
+    import socket
+    import subprocess
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(inc._lock_path(out), "w") as fh:
+        json.dump(
+            {"pid": child.pid, "hostname": socket.gethostname(),
+             "boot_id": inc._host_boot_id()},
+            fh,
+        )
+    try:
+        with _pt.raises(ValueError, match="compaction holds"):
+            inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    finally:
+        os.remove(inc._lock_path(out))
+
+
+def test_compaction_lease_stamp_and_refusal_diagnosis(spark, tmp_path):
+    """_compact stamps pid+hostname+boot id; a second compactor's
+    refusal names the holder and says it is alive."""
+    import json
+    import os
+    import socket
+
+    import pandas as pd
+    import pytest as _pt
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    # simulate a live holder via a real stamp from this process
+    with open(inc._lock_path(out), "w") as fh:
+        json.dump(
+            {"pid": os.getpid(), "hostname": socket.gethostname(),
+             "boot_id": inc._host_boot_id()},
+            fh,
+        )
+    try:
+        with _pt.raises(RuntimeError, match="appears ALIVE"):
+            inc.compact_triple_support(spark, out, n_buckets=2)
+    finally:
+        os.remove(inc._lock_path(out))
+    # a real compaction leaves a parseable stamp behind? No -- it
+    # RELEASES the lease; instead verify the stamp format by peeking
+    # mid-protocol is overkill: assert the happy path still works.
+    summary = inc.compact_triple_support(spark, out, n_buckets=2)
+    assert summary["compacted"] == 2
+
+
+def test_quarantine_retention_sweep(spark, tmp_path):
+    """r8 (VERDICT item 7): --compact's retention sweep purges
+    quarantined generations older than the keep horizon, keeps recent
+    ones, never touches the live store, and only reports dirs that are
+    actually gone."""
+    import os
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    out = str(tmp_path / "store")
+    os.makedirs(out)
+    qroot = inc._quarantine_dir(out)
+    os.makedirs(qroot)
+    for name in ("epoch=-1", "epoch=-9", "epoch=-9.1", "epoch=-40",
+                 "not-a-generation"):
+        os.makedirs(os.path.join(qroot, name))
+        with open(os.path.join(qroot, name, "part-0"), "w") as fh:
+            fh.write("x")
+
+    gone = inc.sweep_quarantine(out, current_generation=-20,
+                               keep_compactions=8)
+    # age = 20 - k: epoch=-1 (19) and epoch=-9/-9.1 (11) exceed 8;
+    # epoch=-40 is NEWER-numbered than the current generation is old
+    # (negative age) and stays; foreign names are never touched
+    assert gone == ["epoch=-1", "epoch=-9", "epoch=-9.1"]
+    left = sorted(os.listdir(qroot))
+    assert left == ["epoch=-40", "not-a-generation"]
+
+
+def test_quarantine_sweep_runs_from_compaction(spark, tmp_path):
+    """The sweep is invoked by the compaction engine itself and its
+    result lands in the summary."""
+    import os
+
+    import pandas as pd
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    d = spark.createDataFrame(
+        pd.DataFrame([("Q1", "p", "Q2", "c1", 1)], columns=cols)
+    )
+    out = str(tmp_path / "support")
+    inc.merge_triple_support(d, out, epoch_id=0, n_buckets=2)
+    inc.merge_triple_support(d, out, epoch_id=1, n_buckets=2)
+    qroot = inc._quarantine_dir(out)
+    os.makedirs(os.path.join(qroot, "epoch=-500"))  # ancient debris
+    os.makedirs(os.path.join(qroot, "epoch=-1000"))  # "future"-numbered
+    summary = inc.compact_triple_support(
+        spark, out, n_buckets=2, quarantine_keep=8
+    )
+    # first compaction commits generation -1; only debris OLDER than
+    # the horizon relative to it is purged -- here neither qualifies
+    # (ages are negative), so both survive and the summary says so
+    assert summary["generation"] == -1
+    assert summary["quarantine_purged"] == []
+    assert sorted(os.listdir(qroot)) == ["epoch=-1000", "epoch=-500"]
+
+
+def test_ensure_parallelism_non_numeric_shuffle_conf(spark, monkeypatch):
+    """r8 (ADVICE): a platform that sets a non-numeric
+    spark.sql.shuffle.partitions (e.g. 'auto') must fall back to the
+    real probe instead of raising ValueError on every shuffled frame."""
+    from pyspark.sql import functions as F
+
+    from wikidata_pq_spark.operators import dedup
+
+    df = (
+        spark.range(100)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+    )
+    real_get = type(spark.conf).get
+
+    def fake_get(self, key, default=None):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, default)
+
+    monkeypatch.setattr(type(spark.conf), "get", fake_get)
+    out = dedup.ensure_parallelism(df)  # must not raise
+    assert out.count() == 10
+
+
+def test_purge_quarantine_reports_only_reclaimed_dirs(tmp_path):
+    """r8 (ADVICE): purge_quarantine only lists a generation as gone
+    when the directory is actually removed."""
+    import os
+
+    from wikidata_pq_spark.streaming import incremental as inc
+
+    out = str(tmp_path / "store")
+    os.makedirs(out)
+    qroot = inc._quarantine_dir(out)
+    os.makedirs(os.path.join(qroot, "epoch=-2"))
+    gone = inc.purge_quarantine(out)
+    assert gone == ["epoch=-2"] and not os.path.exists(qroot)

@@ -298,6 +298,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         or "SinglePartition" in plan
         or re.search(r"(?m)^[\s:+\-*]*Coalesce\s*\(\d+\)\s*$", plan)
     )
+    # Platforms that set a NON-NUMERIC shuffle-partition conf (e.g.
+    # 'auto' under vendor AQE auto-tuning) cannot take the static conf
+    # fast path; they fall through to the real probe instead of
+    # raising ValueError on every shuffled frame (r8, ADVICE).
+    n_parts = None
     if has_shuffle and not explicit_n:
         # post-exchange parallelism is the STATIC shuffle-partition
         # number, not defaultParallelism -- a session configured with
@@ -307,7 +312,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # a global agg/sort plans an "Exchange" whose arguments
         # collapse to ONE partition -- declaring that parallel would
         # skip the repartition exactly when it is needed.
-        n_parts = int(shuffle_conf)
+        try:
+            n_parts = int(shuffle_conf)
+        except ValueError:
+            n_parts = None
+    if n_parts is not None:
+        pass
     elif (
         not has_shuffle
         and "BroadcastExchange" not in plan

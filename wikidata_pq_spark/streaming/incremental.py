@@ -567,6 +567,14 @@ def _read_manifest(out_dir: str) -> dict | None:
         try:
             with os.fdopen(fd, "w") as fh:
                 json.dump(m, fh)
+                # flush+fsync BEFORE the link installs the file (r8,
+                # ADVICE): without it a machine crash right after the
+                # install could leave a truncated primary, which later
+                # reads classify as corrupt-but-present and deliberately
+                # never overwrite -- a permanent warning state. Matches
+                # the commit path's atomic-write discipline.
+                fh.flush()
+                os.fsync(fh.fileno())
             # mkstemp creates 0600; copy the bak's actual mode (what
             # the compactor's open()+umask produced) so the healed
             # primary is exactly as readable as every other manifest --
@@ -669,6 +677,98 @@ def _lock_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_compact.lock")
 
 
+def _host_boot_id() -> "str | None":
+    """This host's boot UUID (changes on every reboot); None where the
+    Linux procfs surface is unavailable."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
+def lease_status(out_dir: str) -> dict:
+    """Diagnose the compaction lease: ``held``, the recorded holder
+    identity, and ``holder_dead`` -- True only when the holder is
+    PROVABLY dead from this host (same hostname: the pid is gone or
+    the host has rebooted since the stamp), False when it is alive
+    here, None when liveness cannot be decided from this host (lease
+    stamped by another machine, or a pre-r8 bare-pid stamp with no
+    host identity)."""
+    import json
+    import os
+    import socket
+
+    p = _lock_path(out_dir)
+    try:
+        with open(p) as fh:
+            raw = fh.read()
+    except FileNotFoundError:
+        return {"held": False, "holder_dead": None, "pid": None,
+                "hostname": None, "boot_id": None}
+    pid = hostname = boot = None
+    try:
+        rec = json.loads(raw)
+        pid = int(rec["pid"])
+        hostname = rec.get("hostname")
+        boot = rec.get("boot_id")
+    except (ValueError, KeyError, TypeError):
+        try:
+            pid = int(raw.strip())  # pre-r8 stamp: bare pid, no host
+        except ValueError:
+            pid = None
+    dead: "bool | None" = None
+    if hostname is not None and hostname == socket.gethostname():
+        here = _host_boot_id()
+        if boot is not None and here is not None and boot != here:
+            dead = True  # same host, stamped before a reboot
+        elif pid is not None:
+            try:
+                os.kill(pid, 0)
+                dead = False  # signal 0 delivered: process exists
+            except ProcessLookupError:
+                dead = True
+            except PermissionError:
+                dead = False  # exists, owned by someone else
+            except OSError:
+                dead = None
+    return {"held": True, "holder_dead": dead, "pid": pid,
+            "hostname": hostname, "boot_id": boot}
+
+
+def break_lease(out_dir: str) -> dict:
+    """Remove a crashed compactor's lease -- ONLY when the holder is
+    provably dead (``lease_status``: same host and the pid is gone, or
+    the host rebooted since the stamp). Refuses loudly when the holder
+    is alive or cannot be verified from this machine: breaking a LIVE
+    compactor's lease would let a second compactor interleave writes
+    into the same generation dir (r8, VERDICT item 3). Returns the
+    pre-removal status on success."""
+    import os
+
+    st = lease_status(out_dir)
+    if not st["held"]:
+        return {**st, "broken": False}
+    if st["holder_dead"] is not True:
+        who = (
+            f"pid {st['pid']} on {st['hostname'] or 'an unknown host'}"
+        )
+        reason = (
+            "it is ALIVE on this host"
+            if st["holder_dead"] is False
+            else "its liveness cannot be verified from this host "
+            "(stamped by another machine or by a pre-r8 compactor)"
+        )
+        raise RuntimeError(
+            f"refusing to break the compaction lease at "
+            f"{_lock_path(out_dir)}: holder {who} -- {reason}. If you "
+            "have verified out-of-band that the holder is dead, remove "
+            "the file by hand."
+        )
+    os.remove(_lock_path(out_dir))
+    return {**st, "broken": True}
+
+
 def _quarantine_dir(out_dir: str) -> str:
     """Sibling of the store, NOT inside it: Spark's partition discovery
     walks every subdirectory of the store and would read a nested
@@ -698,10 +798,55 @@ def purge_quarantine(out_dir: str) -> list[str]:
     if not os.path.isdir(qroot):
         return gone
     for d in sorted(os.listdir(qroot)):
-        shutil.rmtree(os.path.join(qroot, d), ignore_errors=True)
-        gone.append(d)
+        path = os.path.join(qroot, d)
+        shutil.rmtree(path, ignore_errors=True)
+        # only report a generation as purged if it is actually gone
+        # (r8, ADVICE): a permission/IO failure inside rmtree was
+        # previously swallowed AND reported as reclaimed while the
+        # directory still occupied disk.
+        if not os.path.exists(path):
+            gone.append(d)
     try:
         os.rmdir(qroot)
+    except OSError:
+        pass
+    return gone
+
+
+def sweep_quarantine(
+    out_dir: str, current_generation: int, keep_compactions: int = 8
+) -> list:
+    """Age-based quarantine retention (r8, VERDICT item 7): purge
+    quarantined generation dirs more than ``keep_compactions``
+    committed generations older than ``current_generation``; keep
+    newer ones for operator inspection. Generation ids decrease by
+    exactly one per committed compaction, so id distance IS age in
+    compactions. Only dirs shaped like a quarantined generation
+    (``epoch=-N`` / ``epoch=-N.k``) are touched, and only inside the
+    quarantine root -- live generations live in the store itself and
+    are structurally out of reach. Returns the purged dir names
+    (verified-gone, the purge_quarantine discipline)."""
+    import os
+    import re as _re
+    import shutil
+
+    qroot = _quarantine_dir(out_dir)
+    gone = []
+    if not os.path.isdir(qroot):
+        return gone
+    cur_abs = -int(current_generation)
+    pat = _re.compile(r"^epoch=-(\d+)(?:\.\d+)?$")
+    for d in sorted(os.listdir(qroot)):
+        m = pat.match(d)
+        if not m:
+            continue
+        if cur_abs - int(m.group(1)) > keep_compactions:
+            path = os.path.join(qroot, d)
+            shutil.rmtree(path, ignore_errors=True)
+            if not os.path.exists(path):
+                gone.append(d)
+    try:
+        os.rmdir(qroot)  # drops the root only when empty
     except OSError:
         pass
     return gone
@@ -712,6 +857,7 @@ def _compact(
     out_dir: str,
     reducer,
     n_buckets: int,
+    quarantine_keep: int = 8,
 ) -> dict:
     """Shared compaction engine: reduce ALL currently-live epochs into
     one partial under the next negative generation id, commit via the
@@ -753,17 +899,41 @@ def _compact(
             _lock_path(out_dir), os.O_CREAT | os.O_EXCL | os.O_WRONLY
         )
     except FileExistsError:
+        st = lease_status(out_dir)
+        diag = (
+            "the holder is PROVABLY DEAD -- reclaim it with "
+            "break_lease()/maintain_beliefs --break-lease"
+            if st["holder_dead"] is True
+            else "the holder appears ALIVE"
+            if st["holder_dead"] is False
+            else "holder liveness cannot be verified from this host"
+        )
         raise RuntimeError(
             f"compaction already in progress for {out_dir} (or a "
-            f"crashed compactor left {_lock_path(out_dir)}); verify no "
-            "compactor is alive, then remove the lock file to proceed"
+            f"crashed compactor left {_lock_path(out_dir)}): holder "
+            f"pid {st['pid']} on {st['hostname'] or 'unknown host'}; "
+            f"{diag}"
         )
-    # everything after a successful O_EXCL create -- including the pid
-    # stamp itself -- runs under the finally that releases the lease,
-    # so an ENOSPC/EIO on the write cannot orphan the lock (r7 review)
+    # everything after a successful O_EXCL create -- including the
+    # holder stamp itself -- runs under the finally that releases the
+    # lease, so an ENOSPC/EIO on the write cannot orphan the lock (r7
+    # review). The stamp records pid + hostname + boot id (r8, VERDICT
+    # item 3) so a later compactor / break_lease can PROVE a crashed
+    # holder dead instead of demanding a human judgment call.
     try:
         try:
-            os.write(lock_fd, str(os.getpid()).encode())
+            import socket
+
+            os.write(
+                lock_fd,
+                json.dumps(
+                    {
+                        "pid": os.getpid(),
+                        "hostname": socket.gethostname(),
+                        "boot_id": _host_boot_id(),
+                    }
+                ).encode(),
+            )
         finally:
             os.close(lock_fd)
         prev = _read_manifest(out_dir)
@@ -811,6 +981,16 @@ def _compact(
                 "compacted": 0,
                 "live": live,
                 "removed_epochs": _gc_stale(set(live)),
+                # retention sweep still runs on the no-op path (aged
+                # quarantine debris must not outlive quiet stores);
+                # with no committed generation there is no age basis
+                "quarantine_purged": (
+                    sweep_quarantine(
+                        out_dir, prev["generation"], quarantine_keep
+                    )
+                    if prev is not None
+                    else []
+                ),
             }
         gen = (min(live + [0])) - 1  # next free negative id
         pre_removed = _gc_stale(set(live))
@@ -862,6 +1042,9 @@ def _compact(
             "rows": n_rows,
             "removed_epochs": removed,
             "prev_generation": None if prev is None else prev["generation"],
+            "quarantine_purged": sweep_quarantine(
+                out_dir, gen, quarantine_keep
+            ),
         }
     finally:
         try:
@@ -871,7 +1054,8 @@ def _compact(
 
 
 def compact_triple_support(
-    spark: SparkSession, out_dir: str, n_buckets: int = 16
+    spark: SparkSession, out_dir: str, n_buckets: int = 16,
+    quarantine_keep: int = 8,
 ) -> dict:
     """Compact the triple-support epoch store: the merged partial keeps
     the RAW hll sketch (hll_union_agg, not the estimate) so it stays
@@ -893,7 +1077,10 @@ def compact_triple_support(
             )
         )
 
-    return _compact(spark, out_dir, reduce_support, n_buckets)
+    return _compact(
+        spark, out_dir, reduce_support, n_buckets,
+        quarantine_keep=quarantine_keep,
+    )
 
 
 def compact_current_beliefs(
@@ -901,6 +1088,7 @@ def compact_current_beliefs(
     out_dir: str,
     order_cols: tuple = BELIEF_ORDER_COLS,
     n_buckets: int = 16,
+    quarantine_keep: int = 8,
 ) -> dict:
     """Compact the current-beliefs epoch store: argmax of argmaxes
     under the same (order_cols..., obj) key -- the merged partial is
@@ -922,4 +1110,7 @@ def compact_current_beliefs(
             )
         )
 
-    return _compact(spark, out_dir, reduce_beliefs, n_buckets)
+    return _compact(
+        spark, out_dir, reduce_beliefs, n_buckets,
+        quarantine_keep=quarantine_keep,
+    )
