@@ -35,3 +35,12 @@ def spark_corpus(spark, corpus):
         "alias_dict": spark.createDataFrame(corpus["alias_dict"]),
         "same_as": spark.createDataFrame(corpus["same_as"]),
     }
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "classic_session_only: exercises an API absent from the Spark "
+        "Connect client (df.rdd probes, applyInPandasWithState); see "
+        "ARCHITECTURE.md 'Spark Connect compatibility seams'",
+    )

@@ -441,6 +441,7 @@ def test_broadcast_cache_keeps_live_concurrent_session(spark):
         similarity._BROADCAST_CACHE.pop(("other-live", (1,), "x"), None)
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_repartitions_small_scan(spark, tmp_path):
     """A one-file parquet scan below the slot count gets round-robin
     repartitioned to defaultParallelism; the decision is memoized per
@@ -470,6 +471,7 @@ def test_ensure_parallelism_repartitions_small_scan(spark, tmp_path):
         dedup._physical_plan = orig
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_post_shuffle_frame_untouched(spark, docs):
     """A frame downstream of an exchange is returned AS-IS (the plan
     fast path fires; no RDD conversion, no repartition node)."""
@@ -479,6 +481,7 @@ def test_ensure_parallelism_post_shuffle_frame_untouched(spark, docs):
     assert out is grouped
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_leaves_aqe_conf_alone(spark, docs, tmp_path):
     """Neither the plan fast path nor the stage-free lazy-RDD path
     touches spark.sql.adaptive.enabled (the r6 session-global toggle
@@ -504,6 +507,7 @@ def test_ensure_parallelism_leaves_aqe_conf_alone(spark, docs, tmp_path):
     assert spark.conf.get("spark.sql.adaptive.enabled", "true") == prev
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_probe_cache_bounded(spark):
     """The memo is LRU-bounded so unbounded distinct plans can't grow
     driver memory."""
@@ -523,6 +527,7 @@ def test_ensure_parallelism_probe_cache_bounded(spark):
         dedup._PROBE_CACHE.clear()
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_single_partition_exchange_not_parallel(spark):
     """A global aggregate plans an 'Exchange' node whose arguments
     collapse to SinglePartition -- the plan fast path must NOT read
@@ -542,6 +547,7 @@ def test_ensure_parallelism_single_partition_exchange_not_parallel(spark):
     assert out.rdd.getNumPartitions() == target
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_explicit_repartition_and_coalesce(spark):
     """r7 second-review fix, pinned (third review: 'verified live' is
     not a regression test): an explicit repartition(2) and a

@@ -8,6 +8,11 @@ from pyspark.sql import types as T
 
 from wikidata_pq_spark.plans import schema_check
 
+import pytest
+
+pytestmark = pytest.mark.classic_session_only
+
+
 DECLARED = T.StructType(
     [
         T.StructField("a", T.StringType()),

@@ -7,6 +7,11 @@ import pandas as pd
 
 from wikidata_pq_spark.streaming import incremental, stateful
 
+import pytest
+
+pytestmark = pytest.mark.classic_session_only
+
+
 
 def test_state_spans_micro_batches(spark, tmp_path):
     a = pd.DataFrame(

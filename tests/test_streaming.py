@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from wikidata_pq_spark import datagen
 from wikidata_pq_spark.operators import extract, linking
@@ -1297,6 +1298,7 @@ def test_quarantine_sweep_runs_from_compaction(spark, tmp_path):
     assert sorted(os.listdir(qroot)) == ["epoch=-1000", "epoch=-500"]
 
 
+@pytest.mark.classic_session_only
 def test_ensure_parallelism_non_numeric_shuffle_conf(spark, monkeypatch):
     """r8 (ADVICE): a platform that sets a non-numeric
     spark.sql.shuffle.partitions (e.g. 'auto') must fall back to the
