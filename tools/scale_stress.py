@@ -221,7 +221,16 @@ def main() -> None:
     ).localCheckpoint()
     n_planted = planted.count()
 
+    _prefix_stats = {}
+
     def _prefix_exact():
+        # candidate/verified ratio logged (r8, VERDICT item 5): the
+        # positional (ppjoin) filter's effect is visible here as a
+        # lower candidates/verified multiple on the realistic corpus
+        tokz = dedup.tokenized(zdocs).localCheckpoint()
+        _prefix_stats["candidates"] = dedup._prefix_filter_candidates(
+            tokz, 0.8 - 5e-7
+        ).count()
         exact_pairs = dedup.prefix_filter_jaccard_pairs(
             zdocs, threshold=0.8
         ).select("a_id", "b_id").localCheckpoint()
@@ -245,7 +254,13 @@ def main() -> None:
     step("dedup_prefix_exact_zipf", _prefix_exact)
     results["dedup_prefix_exact_zipf"].update(
         {"corpus_docs": n_zdocs, "vocab": VOCAB,
-         "planted_pairs": n_planted, "families": len(cc_pairs)}
+         "planted_pairs": n_planted, "families": len(cc_pairs),
+         "candidates": _prefix_stats.get("candidates"),
+         "cand_per_verified": round(
+             _prefix_stats["candidates"]
+             / max(results["dedup_prefix_exact_zipf"]["rows"], 1),
+             2,
+         ) if _prefix_stats.get("candidates") else None}
     )
     n_embs = embs10.count()
     step(

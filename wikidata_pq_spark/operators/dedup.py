@@ -566,6 +566,38 @@ def prefix_filter_jaccard_pairs(
     tok_frame = tokenized(df, text_col, id_col)
     if truncate_lineage:
         tok_frame = tok_frame.localCheckpoint(eager=False)
+    cands = _prefix_filter_candidates(
+        tok_frame, t_eff, truncate_lineage=truncate_lineage
+    )
+    return verify_jaccard_pairs(
+        df, cands, threshold, text_col, id_col, tokens_df=tok_frame,
+        assume_distinct=True,
+    )
+
+
+def _prefix_filter_candidates(
+    tok_frame: DataFrame, t_eff: float, truncate_lineage: bool = True
+) -> DataFrame:
+    """Candidate stage of the prefix-filter join: (a_id, b_id) distinct
+    pairs surviving the prefix lemma + size filter + POSITIONAL filter.
+    Split out (r8) so stress harnesses can measure the candidate/
+    verified ratio directly.
+
+    Positional filter (r8, VERDICT item 5 -- the ppjoin refinement,
+    Xiao et al. TODS'11): both documents' token arrays are sorted by
+    the SAME global (tf, tok) order, so for a shared prefix token at
+    1-based positions (i, j), every other common token lies entirely
+    before it on both sides (< min(i,j)-ish) or entirely after it, and
+    the total overlap is bounded by
+        ubound(i, j) = min(i-1, j-1) + 1 + min(a_n - i, b_n - j).
+    A qualifying pair needs overlap >= alpha =
+    ceil(t/(1+t) * (a_n + b_n)) (the Jaccard<->overlap identity), and
+    ubound >= overlap holds for EVERY shared token, so dropping join
+    matches with ubound < alpha loses no qualifying pair -- it only
+    prunes candidates the verify stage would reject anyway. alpha is
+    derived from the EFFECTIVE threshold with the same downward float
+    guard as the prefix length (r7 fourth-review discipline: slack may
+    only loosen a candidate-stage bound, never tighten it)."""
     toks = tok_frame.select(
         "id", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
     )
@@ -582,26 +614,42 @@ def prefix_filter_jaccard_pairs(
             + 1,
         )
     )
+    # posexplode: pos is 0-based within the prefix slice, which IS the
+    # 0-based position in the full ordered array (the slice starts at
+    # element 1), so the 1-based position is pos+1
     prefix = ordered.select(
-        "id", "n", F.explode(F.slice("arr", F.lit(1), F.col("p"))).alias("pt")
+        "id",
+        "n",
+        F.posexplode(F.slice("arr", F.lit(1), F.col("p"))).alias("pos", "pt"),
     )
     # the exploded prefix frame feeds BOTH legs of the self-join:
     # truncate its lineage so the tokenize->freq->sort chain is
     # planned (and run) once, not once per leg
     if truncate_lineage:
         prefix = prefix.localCheckpoint(eager=False)
-    a = prefix.select(F.col("id").alias("a_id"), F.col("n").alias("a_n"), "pt")
-    b = prefix.select(F.col("id").alias("b_id"), F.col("n").alias("b_n"), "pt")
+    a = prefix.select(
+        F.col("id").alias("a_id"), F.col("n").alias("a_n"),
+        (F.col("pos") + 1).alias("a_i"), "pt",
+    )
+    b = prefix.select(
+        F.col("id").alias("b_id"), F.col("n").alias("b_n"),
+        (F.col("pos") + 1).alias("b_i"), "pt",
+    )
     size_ok = (F.least("a_n", "b_n") / F.greatest("a_n", "b_n")) >= F.lit(t_eff)
-    cands = (
+    alpha = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff)) * (F.col("a_n") + F.col("b_n"))
+        - F.lit(1e-9)
+    )
+    ubound = (
+        F.least(F.col("a_i") - 1, F.col("b_i") - 1)
+        + 1
+        + F.least(F.col("a_n") - F.col("a_i"), F.col("b_n") - F.col("b_i"))
+    )
+    return (
         a.join(b, "pt")
-        .where((F.col("a_id") < F.col("b_id")) & size_ok)
+        .where((F.col("a_id") < F.col("b_id")) & size_ok & (ubound >= alpha))
         .select("a_id", "b_id")
         .distinct()
-    )
-    return verify_jaccard_pairs(
-        df, cands, threshold, text_col, id_col, tokens_df=tok_frame,
-        assume_distinct=True,
     )
 
 
