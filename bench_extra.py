@@ -30,7 +30,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    names = sys.argv[2:] or BENCH_QUERIES
+    names = sys.argv[2:] or list(BENCH_QUERIES)
 
     spark = get_spark(
         app_name="bench_extra",
@@ -40,6 +40,30 @@ def main() -> None:
     )
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    # drift CANARY (r8, VERDICT item 1, homed here because bench.py is
+    # frozen for driver measurement): a pure scan-aggregate over
+    # lineitem whose code never changes. Its wall time calibrates the
+    # host window; per-cell times are also reported normalized to it
+    # so cross-window comparisons separate host drift from real
+    # regressions.
+    def canary_once() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity"), F.avg("l_extendedprice"),
+                F.count(F.lit(1)),
+            )
+            .count()
+        )
+        return round(time.time() - t0, 3)
+
+    canary = [canary_once() for _ in range(max(reps, 3))]
+    canary_sec = min(canary)
 
     cells: dict = {}
     for name in names:
@@ -57,10 +81,24 @@ def main() -> None:
             noops.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(None)
-        cells[name] = {"count_sec": counts, "noop_sec": noops}
+        cells[name] = {
+            "count_sec": counts,
+            "noop_sec": noops,
+            "count_min_norm": round(min(counts) / canary_sec, 2),
+        }
         print(f"# {name}: count={counts} noop={noops}", file=sys.stderr)
     spark.stop()
-    print(json.dumps({"sf_dir": sf_dir, "cpus": cpus, "cells": cells}))
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "cpus": cpus,
+                "canary_sec": canary_sec,
+                "canary_reps": canary,
+                "cells": cells,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
