@@ -482,19 +482,29 @@ def _token_sets(
     text_col: str,
     id_col: str,
     tokens_df: DataFrame | None = None,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """(id, toks sorted distinct-token array, n) -- shared by the exact
-    Jaccard computations. String tokens (not hashes) so the verify stage
-    is bit-exact against a SQL oracle."""
+    Jaccard computations. Default keeps STRING tokens (the maximally
+    conservative form). ``hash_tokens`` (r8) maps each token through
+    xxhash64 first: set sizes and intersection COUNTS -- the only
+    thing jaccard reads -- are identical to the string form modulo
+    64-bit collisions (negligible at any corpus vocabulary; the
+    token_jaccard_pairs discipline), while the verify join ships
+    8-byte elements instead of strings and intersects long arrays
+    (guide 2.3, shuffle fewer bytes)."""
     if tokens_df is not None:
-        base = tokens_df.select(
-            "id", F.array_sort(F.array_distinct(F.col("toks"))).alias("toks")
-        )
+        src = tokens_df.select("id", F.col("toks").alias("_t"))
     else:
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.array_sort(TX.distinct_tokens(F.col(text_col))).alias("toks"),
+        src = df.select(
+            F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("_t")
         )
+    arr = F.col("_t")
+    if hash_tokens:
+        arr = F.transform(arr, lambda t: F.xxhash64(t))
+    base = src.select(
+        "id", F.array_sort(F.array_distinct(arr)).alias("toks")
+    )
     return base.withColumn("n", F.size("toks"))
 
 
@@ -571,7 +581,7 @@ def prefix_filter_jaccard_pairs(
     )
     return verify_jaccard_pairs(
         df, cands, threshold, text_col, id_col, tokens_df=tok_frame,
-        assume_distinct=True,
+        assume_distinct=True, hash_tokens=True,
     )
 
 
@@ -661,6 +671,7 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     tokens_df: DataFrame | None = None,
     assume_distinct: bool = False,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verify stage over candidate pairs (a_id, b_id).
 
@@ -677,7 +688,9 @@ def verify_jaccard_pairs(
     keeps the dedupe for arbitrary caller input (a duplicated pair
     would otherwise duplicate an output row).
     """
-    base = _token_sets(df, text_col, id_col, tokens_df=tokens_df)
+    base = _token_sets(
+        df, text_col, id_col, tokens_df=tokens_df, hash_tokens=hash_tokens
+    )
     a = base.select(
         F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("n").alias("a_n")
     )
@@ -782,7 +795,7 @@ def near_dup_pairs(
         cands = candidates_transform(cands)
     pairs = verify_jaccard_pairs(
         df, cands, threshold=threshold, text_col=text_col, id_col=id_col,
-        tokens_df=tok, assume_distinct=True,
+        tokens_df=tok, assume_distinct=True, hash_tokens=True,
     )
     return (pairs, audit) if return_audit else pairs
 
