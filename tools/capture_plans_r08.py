@@ -60,6 +60,11 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     for name in names:
+        # cold-shape discipline (mirrors plans.audit.build): a query
+        # built earlier in this session may have persisted a shared
+        # frame, and the CacheManager would splice InMemoryTableScan
+        # into any later plan containing that subtree
+        spark.catalog.clearCache()
         df = contracts.QUERIES[name](spark, sf_dir)
         txt = formatted_plan(df)
         (out_dir / f"{name}_{suffix}.txt").write_text(txt)
