@@ -371,7 +371,12 @@ def _graph_lpa_raw(spark, sf):
         F.concat(F.lit("Q"), F.col("c_custkey")).alias("src_id"),
         F.concat(F.lit("Q"), F.col("c_custkey") + 1).alias("dst_id"),
     )
-    return graph.label_propagation(edges, iters=2, truncate_lineage=False)
+    # early_exit=False: the audit pins the PER-ROUND plan shape; the
+    # convergence checks would otherwise run jobs at build time and
+    # could return before round `iters` (r8)
+    return graph.label_propagation(
+        edges, iters=2, truncate_lineage=False, early_exit=False
+    )
 
 
 BUILDERS = {
