@@ -67,8 +67,9 @@ def heavy_hitters(
     plus one marker row per partition carrying that partition's
     decrement total and row count; the merge is a single groupBy over
     that bounded partial set, and the global (max_undercount, n_total)
-    scalars come from the same partials as a broadcast 1-row frame --
-    no second scan of the input, never a driver collect.
+    scalars ride a whole-frame window over the same <= capacity+1
+    merged rows -- one job end to end, no second scan of the input,
+    never a driver collect.
     Guarantees (pytest-pinned):
 
     - est <= true_count <= est + max_undercount  for emitted keys;
@@ -101,12 +102,19 @@ def heavy_hitters(
             "completeness (holds iff the returned max_undercount < "
             "min_share * n_total)."
         )
-    from . import dedup
-
-    keyed = dedup.ensure_parallelism(
-        df.where(F.col(key_col).isNotNull()).select(
-            F.col(key_col).cast("string").alias("key")
-        )
+    # No ensure_parallelism repartition here (r8, guide "remove
+    # shuffles outright"): the sketch pass is TRANSFER-bound, not
+    # compute-bound -- per-batch work is one value_counts, so extra
+    # Python-stage parallelism bought by a full-corpus round-robin
+    # exchange costs more than it returns in every regime (measured at
+    # sf1.0: the exchange alone doubled the pass, 1.15s -> 2.25s, to
+    # parallelize ~milliseconds of per-batch compute). At real scale
+    # the input has abundant splits and a repartition would no-op
+    # anyway; the CPU-heavy UDF paths (simhash etc.) keep theirs. The
+    # MG guarantees are partition-independent, and at any capacity >=
+    # vocabulary the output is bit-identical under any partitioning.
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("key")
     )
 
     def mg(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,26 +141,34 @@ def heavy_hitters(
     parts = keyed.mapInPandas(mg, schema="key string, est long, dec long, nr long")
     # ONE bounded aggregate merges the per-key estimates AND the global
     # scalars (the per-partition marker rows collapse into the null-key
-    # group), so the sketch pass feeds a single groupBy instead of a
-    # checkpoint + two separate aggregates (r8: one less job over the
-    # partials; values are the identical sums either way). The tiny
-    # merged frame (<= capacity+1 rows) is what gets materialized.
-    # truncate_lineage=False exists for the plan audit only.
+    # group). The global (max_undercount, n_total) scalars then ride a
+    # whole-frame window over the SAME merged frame instead of a second
+    # aggregate + broadcast cross-join: dec/nr are zero on every key
+    # row, so summing over ALL rows equals summing the marker group --
+    # identical values, but the whole merge is ONE job with a single
+    # consumer, so the partials frame needs no lineage truncation
+    # (r8: the two-consumer checkpoint + broadcast-subquery tail
+    # roughly doubled the cell's wall time at sf1.0). The window
+    # collapses to one partition, which is bounded by construction:
+    # the merged frame never exceeds capacity+1 rows.
+    # ``truncate_lineage`` is retained for API compatibility (plan
+    # audit / older callers); the single-consumer merge no longer
+    # branches on it.
+    del truncate_lineage
+    from pyspark.sql import Window
+
     g = parts.groupBy("key").agg(
         F.sum("est").alias("est"),
         F.sum("dec").alias("dec"),
         F.sum("nr").alias("nr"),
     )
-    if truncate_lineage:
-        g = g.localCheckpoint(eager=False)
-
-    scalars = g.where(F.col("key").isNull()).agg(
-        F.coalesce(F.sum("dec"), F.lit(0)).alias("max_undercount"),
-        F.coalesce(F.sum("nr"), F.lit(0)).alias("n_total"),
-    )
-
-    merged = g.where(F.col("key").isNotNull()).select("key", "est")
-    out = merged.join(F.broadcast(scalars), how="cross")
+    w = Window.partitionBy()
+    out = g.select(
+        "key",
+        "est",
+        F.sum("dec").over(w).alias("max_undercount"),
+        F.sum("nr").over(w).alias("n_total"),
+    ).where(F.col("key").isNotNull())
     # completeness-safe filter: keep iff the key's UPPER bound clears
     # the threshold -- a dropped key provably has true < min_share*n
     return out.where(

@@ -187,7 +187,8 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"MapInPandas", r"BatchEvalPython"],
     ),
     # Misra-Gries (r6): ONE MapInPandas over the keys; the merge is a
-    # plain aggregate over the bounded partials (never a second pass
+    # plain aggregate over the bounded partials plus a whole-frame
+    # window over the <= capacity+1 merged rows (never a second pass
     # over the corpus, never row-at-a-time Python)
     "sk_heavy_hitters": (
         [r"MapInPandas", r"HashAggregate"],
@@ -339,8 +340,8 @@ def _samp_reservoir_raw(spark, sf):
 
 
 def _sk_heavy_hitters_raw(spark, sf):
-    """heavy_hitters truncates lineage on the bounded partials frame
-    (two consumers); audit the untruncated sketch + merge plan."""
+    """Audit the full sketch + merge plan (single-job since r8: the
+    merge has one consumer, so nothing hides behind a checkpoint)."""
     import pyspark.sql.functions as F
 
     from .. import contracts
