@@ -144,3 +144,30 @@ def test_approx_quantile_check_ignores_null_values(spark):
     df = spark.createDataFrame(rows, "grp string, val double")
     out = sketches.approx_quantile_check(df, "grp", "val", qs=(0.5,)).collect()
     assert len(out) == 1 and out[0].within_tol
+
+
+def test_mg_partition_invariant_at_full_capacity(skewed):
+    """r8: heavy_hitters no longer repartitions its input (the sketch
+    pass is transfer-bound, so the exchange cost more than the bought
+    parallelism). Pin the property that justifies it: at capacity >=
+    vocabulary the output is bit-identical under ANY partitioning, so
+    dropping the repartition cannot change results for exact-regime
+    callers (the contract cell runs capacity 256 over a 31-word
+    vocabulary)."""
+    df, truth = skewed
+    outs = []
+    for n_parts in (1, 3, 16):
+        rows = sorted(
+            map(
+                tuple,
+                sketches.heavy_hitters(
+                    df.repartition(n_parts), "tok", capacity=10_000, min_share=0.0
+                ).collect(),
+            )
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2]
+    # and the invariant sums behind the window-based merge: undercount
+    # 0, n_total == corpus size, estimates exact
+    assert all(mu == 0 and nt == sum(truth.values()) for _, _, mu, nt in outs[0])
+    assert {k: est for k, est, _, _ in outs[0]} == dict(truth)
